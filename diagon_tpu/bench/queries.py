@@ -1,0 +1,84 @@
+"""The reference benchmark query sets, verbatim.
+
+Term lists copied from ``benchmarks/reuters_benchmark.cpp:193-268`` in the
+reference (per BASELINE.md: "reuse these verbatim for parity"). All queries
+target the ``body`` field and return BM25 top-10.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from diagon_tpu.search.query import (
+    BooleanQuery,
+    Occur,
+    PhraseQuery,
+    Query,
+    TermQuery,
+)
+
+OR_2 = ["trade", "export"]
+OR_5 = ["oil", "trade", "market", "price", "dollar"]
+OR_10 = [
+    "oil", "trade", "market", "price", "dollar",
+    "export", "bank", "government", "company", "president",
+]
+OR_20 = [
+    "market", "company", "stock", "trade", "price",
+    "bank", "dollar", "oil", "export", "government",
+    "share", "billion", "profit", "exchange", "interest",
+    "economic", "report", "industry", "investment", "revenue",
+]
+OR_50 = [
+    "market", "company", "stock", "trade", "price", "bank",
+    "dollar", "oil", "export", "government", "share", "billion",
+    "profit", "exchange", "interest", "economic", "report", "industry",
+    "investment", "revenue", "million", "percent", "year", "said",
+    "would", "new", "also", "last", "first", "group",
+    "accord", "tax", "rate", "growth", "debt", "loss",
+    "quarter", "month", "net", "income", "sales", "earnings",
+    "bond", "foreign", "loan", "budget", "deficit", "surplus",
+    "inflation", "central",
+]
+PHRASES = [
+    ["oil", "price"],
+    ["trade", "deficit"],
+    ["interest", "rate"],
+    ["stock", "market"],
+    ["federal", "reserve", "bank"],
+]
+
+
+def _or_query(terms) -> BooleanQuery:
+    b = BooleanQuery.Builder()
+    for t in terms:
+        b.add(TermQuery("body", t), Occur.SHOULD)
+    return b.build()
+
+
+def _and_query(terms) -> BooleanQuery:
+    b = BooleanQuery.Builder()
+    for t in terms:
+        b.add(TermQuery("body", t), Occur.MUST)
+    return b.build()
+
+
+def reuters_queries() -> Dict[str, Query]:
+    """name -> Query, mirroring reuters_benchmark.cpp's query table."""
+    q: Dict[str, Query] = {
+        "term:dollar": TermQuery("body", "dollar"),
+        "term:oil": TermQuery("body", "oil"),
+        "term:trade": TermQuery("body", "trade"),
+        "and2:oil+price": _and_query(["oil", "price"]),
+        "or2": _or_query(OR_2),
+        "or5": _or_query(OR_5),
+        "or10": _or_query(OR_10),
+        "or20": _or_query(OR_20),
+        "or50": _or_query(OR_50),
+    }
+    for p in PHRASES:
+        q[f"phrase:{' '.join(p)}"] = PhraseQuery("body", p)
+    return q
+
+
+REUTERS_QUERIES = reuters_queries()

@@ -1,0 +1,248 @@
+"""Packed posting-block format — the heart of the index.
+
+TPU-native replacement for the reference's Lucene104 postings
+(``codecs/lucene104/Lucene104PostingsWriter.h:23-90``: 128-doc PFOR blocks in
+a ``.doc`` byte stream plus ``.skp`` skip entries). Here a segment's postings
+for one field are a **struct-of-arrays**: every posting block is described by
+one row of dense per-block metadata plus a slice of a single shared uint32
+word stream. This makes the block table itself the skip list: block-max
+pruning is a vectorized comparison over the ``[n_blocks]`` metadata arrays,
+and decoding a block is two gathers + shifts.
+
+Block layout (block = up to 128 postings of ONE term, docids ascending):
+
+- doc-id deltas ``d[0]=0, d[i]=doc[i]-doc[i-1]`` packed at ``doc_bits``
+  (per-block width), starting at word ``word_off``, word-aligned;
+- freqs packed at ``freq_bits``, starting at word
+  ``word_off + ceil(count*doc_bits/32)`` (word-aligned).
+
+Per-block metadata (the ``.skp`` equivalent, kept as columns so pruning and
+decode address it with vector loads):
+
+- ``term``      int32  owner term id
+- ``base``      int32  docid of first posting in the block
+- ``count``     int32  number of valid postings (<= 128)
+- ``doc_bits``  int32  bit width of the delta section
+- ``freq_bits`` int32  bit width of the freq section
+- ``word_off``  int32  offset of the block in the shared word stream
+- ``max_freq``  int32  max freq in the block      (WAND upper bound input)
+- ``max_norm``  int32  max norm byte in the block (shortest doc => max score)
+
+Per-term columns: ``block_start`` (CSR offsets into the block table),
+``doc_freq``, ``total_tf``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from diagon_tpu.codecs.bitpack import bits_needed, pack_u32, words_for
+
+BLOCK_SIZE = 128
+
+
+@dataclass
+class PackedPostings:
+    """One field's postings for one segment, as dense numpy arrays."""
+
+    # per-term (T terms), term strings sorted ascending; tid = rank
+    terms: List[str]
+    block_start: np.ndarray  # int32 [T+1]
+    doc_freq: np.ndarray  # int32 [T]
+    total_tf: np.ndarray  # int64 [T]
+
+    # per-block (NB blocks)
+    block_term: np.ndarray  # int32 [NB]
+    block_base: np.ndarray  # int32 [NB]
+    block_count: np.ndarray  # int32 [NB]
+    block_doc_bits: np.ndarray  # int32 [NB]
+    block_freq_bits: np.ndarray  # int32 [NB]
+    block_word_off: np.ndarray  # int32 [NB]
+    block_max_freq: np.ndarray  # int32 [NB]
+    block_max_norm: np.ndarray  # int32 [NB]
+    # CSR offset of each block's first posting in segment posting order —
+    # needed to address the positions arrays (entry_start[NB+1]).
+    block_entry_start: np.ndarray  # int64 [NB+1]
+
+    packed: np.ndarray  # uint32 [W] shared word stream (padded with slack)
+
+    # positions (present iff the field was indexed with positions):
+    # per posting-entry CSR offsets into the flat positions array.
+    pos_start: Optional[np.ndarray] = None  # int64 [NE+1]
+    positions: Optional[np.ndarray] = None  # int32 [NP] absolute, ascending
+
+    # collection stats for the field
+    sum_total_tf: int = 0
+    sum_doc_freq: int = 0
+    doc_count_with_field: int = 0
+
+    # static decode-window size (words) covering any block's both sections
+    max_window_words: int = 1
+
+    @property
+    def num_terms(self) -> int:
+        return len(self.terms)
+
+    @property
+    def num_blocks(self) -> int:
+        return len(self.block_term)
+
+    def term_id(self, term: str) -> int:
+        """Hashed/sorted term lookup; -1 if absent (reference: FST seekExact)."""
+        lo, hi = 0, len(self.terms)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self.terms[mid] < term:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < len(self.terms) and self.terms[lo] == term:
+            return lo
+        return -1
+
+
+def build_packed_postings(
+    term_postings: Dict[str, Tuple[np.ndarray, np.ndarray]],
+    term_positions: Optional[Dict[str, List[np.ndarray]]] = None,
+    norms: Optional[np.ndarray] = None,
+) -> PackedPostings:
+    """Pack per-term (docids, freqs) arrays into the block format.
+
+    ``term_postings``: term -> (docids int array ascending, freqs int array).
+    ``term_positions``: term -> list of per-doc position arrays (parallel to
+    docids), or None for fields without positions.
+    ``norms``: uint8 per-doc norm array used to compute block max-norm
+    (may be None — max_norm falls back to 127).
+    """
+    terms = sorted(term_postings.keys())
+    T = len(terms)
+
+    block_start = np.zeros(T + 1, dtype=np.int32)
+    doc_freq = np.zeros(T, dtype=np.int32)
+    total_tf = np.zeros(T, dtype=np.int64)
+
+    b_term: List[int] = []
+    b_base: List[int] = []
+    b_count: List[int] = []
+    b_dbits: List[int] = []
+    b_fbits: List[int] = []
+    b_woff: List[int] = []
+    b_maxf: List[int] = []
+    b_maxn: List[int] = []
+    b_estart: List[int] = [0]
+
+    word_chunks: List[np.ndarray] = []
+    word_off = 0
+
+    pos_lists: List[np.ndarray] = []
+    pos_counts: List[int] = []
+    with_positions = term_positions is not None
+
+    for tid, term in enumerate(terms):
+        docs, freqs = term_postings[term]
+        docs = np.asarray(docs, dtype=np.int64)
+        freqs = np.asarray(freqs, dtype=np.int64)
+        df = len(docs)
+        doc_freq[tid] = df
+        total_tf[tid] = int(freqs.sum())
+        block_start[tid] = len(b_term)
+
+        plist = term_positions[term] if with_positions else None
+
+        for s in range(0, df, BLOCK_SIZE):
+            e = min(s + BLOCK_SIZE, df)
+            bdocs = docs[s:e]
+            bfreqs = freqs[s:e]
+            count = e - s
+            deltas = np.diff(bdocs, prepend=bdocs[0])
+            dbits = bits_needed(int(deltas.max()) if count > 1 else 0)
+            fbits = bits_needed(int(bfreqs.max()))
+            dwords = pack_u32(deltas, dbits)
+            fwords = pack_u32(bfreqs, fbits)
+
+            b_term.append(tid)
+            b_base.append(int(bdocs[0]))
+            b_count.append(count)
+            b_dbits.append(dbits)
+            b_fbits.append(fbits)
+            b_woff.append(word_off)
+            b_maxf.append(int(bfreqs.max()))
+            if norms is not None:
+                b_maxn.append(int(norms[bdocs].max()))
+            else:
+                b_maxn.append(127)
+            b_estart.append(b_estart[-1] + count)
+
+            word_chunks.append(dwords)
+            word_chunks.append(fwords)
+            word_off += len(dwords) + len(fwords)
+
+            if with_positions:
+                for j in range(s, e):
+                    p = np.asarray(plist[j], dtype=np.int32)
+                    pos_lists.append(p)
+                    pos_counts.append(len(p))
+
+    block_start[T] = len(b_term)
+
+    max_window = 1
+    for db, fb in zip(b_dbits, b_fbits):
+        w = words_for(BLOCK_SIZE, db) + words_for(BLOCK_SIZE, fb)
+        max_window = max(max_window, w)
+
+    # Slack so a full max_window gather at the last block stays in bounds.
+    packed = (
+        np.concatenate(word_chunks + [np.zeros(max_window + 1, dtype=np.uint32)])
+        if word_chunks
+        else np.zeros(max_window + 1, dtype=np.uint32)
+    )
+
+    pp = PackedPostings(
+        terms=terms,
+        block_start=block_start,
+        doc_freq=doc_freq,
+        total_tf=total_tf,
+        block_term=np.asarray(b_term, dtype=np.int32),
+        block_base=np.asarray(b_base, dtype=np.int32),
+        block_count=np.asarray(b_count, dtype=np.int32),
+        block_doc_bits=np.asarray(b_dbits, dtype=np.int32),
+        block_freq_bits=np.asarray(b_fbits, dtype=np.int32),
+        block_word_off=np.asarray(b_woff, dtype=np.int32),
+        block_max_freq=np.asarray(b_maxf, dtype=np.int32),
+        block_max_norm=np.asarray(b_maxn, dtype=np.int32),
+        block_entry_start=np.asarray(b_estart, dtype=np.int64),
+        packed=packed,
+        sum_total_tf=int(total_tf.sum()),
+        sum_doc_freq=int(doc_freq.sum()),
+        max_window_words=max_window,
+    )
+
+    if with_positions:
+        pos_start = np.zeros(len(pos_lists) + 1, dtype=np.int64)
+        np.cumsum(pos_counts, out=pos_start[1:])
+        pp.pos_start = pos_start
+        pp.positions = (
+            np.concatenate(pos_lists).astype(np.int32)
+            if pos_lists
+            else np.zeros(0, dtype=np.int32)
+        )
+    return pp
+
+
+def decode_block_numpy(pp: PackedPostings, b: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Oracle decoder for one block -> (docids, freqs). Tests only."""
+    from diagon_tpu.codecs.bitpack import unpack_u32_numpy
+
+    count = int(pp.block_count[b])
+    db = int(pp.block_doc_bits[b])
+    fb = int(pp.block_freq_bits[b])
+    off = int(pp.block_word_off[b])
+    dw = words_for(count, db)
+    fw = words_for(count, fb)
+    deltas = unpack_u32_numpy(pp.packed[off : off + dw], db, count)
+    freqs = unpack_u32_numpy(pp.packed[off + dw : off + dw + fw], fb, count)
+    docs = int(pp.block_base[b]) + np.cumsum(deltas.astype(np.int64))
+    return docs.astype(np.int32), freqs.astype(np.int32)

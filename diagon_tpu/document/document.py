@@ -1,0 +1,199 @@
+"""Document and Field types.
+
+Mirrors the reference's field zoo (``document/Field.h:123-271``): TextField
+(tokenized, positions), StringField (keyword), StoredField, the doc-values
+fields, and point fields for numeric range queries. The semantics that matter
+for parity:
+
+- ``TextField`` tokenizes with the standard tokenizer and indexes
+  DOCS_AND_FREQS_AND_POSITIONS by default (as the Reuters benchmark sets up,
+  ``benchmarks/dataset/SimpleReutersAdapter.h:80-92``).
+- ``StringField`` indexes the raw value as one token, DOCS only.
+- Doc-values / point fields contribute no inverted-index tokens
+  (``Field.h:166-213`` return empty token lists).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field as dc_field
+from typing import List, Optional, Sequence, Union
+
+from diagon_tpu.analysis.tokenizers import standard_tokenize
+
+
+class IndexOptions(enum.Enum):
+    NONE = 0
+    DOCS = 1
+    DOCS_AND_FREQS = 2
+    DOCS_AND_FREQS_AND_POSITIONS = 3
+
+
+class DocValuesType(enum.Enum):
+    NONE = 0
+    NUMERIC = 1
+    BINARY = 2
+    SORTED = 3
+    SORTED_NUMERIC = 4
+    SORTED_SET = 5
+
+
+@dataclass
+class FieldType:
+    index_options: IndexOptions = IndexOptions.NONE
+    stored: bool = False
+    tokenized: bool = False
+    doc_values_type: DocValuesType = DocValuesType.NONE
+    point_dims: int = 0
+    point_bytes: int = 0
+
+
+class Field:
+    """Base field: name + value + FieldType."""
+
+    def __init__(self, name: str, value, ftype: FieldType):
+        self.name = name
+        self.value = value
+        self.type = ftype
+
+    def tokenize(self) -> List[str]:
+        """Tokens contributed to the inverted index (reference Field.h:91)."""
+        if self.type.index_options == IndexOptions.NONE:
+            return []
+        if not self.type.tokenized:
+            return [str(self.value)]
+        return standard_tokenize(str(self.value))
+
+    def __repr__(self):
+        return f"{type(self).__name__}({self.name}={self.value!r})"
+
+
+# Default TextField type: tokenized, positions, not stored — matches the
+# Reuters benchmark FieldType (SimpleReutersAdapter.h:80-88).
+TEXT_FIELD_TYPE = FieldType(
+    index_options=IndexOptions.DOCS_AND_FREQS_AND_POSITIONS,
+    stored=False,
+    tokenized=True,
+)
+
+STRING_FIELD_TYPE = FieldType(
+    index_options=IndexOptions.DOCS,
+    stored=False,
+    tokenized=False,
+)
+
+
+class TextField(Field):
+    def __init__(self, name: str, value: str, ftype: Optional[FieldType] = None):
+        super().__init__(name, value, ftype or TEXT_FIELD_TYPE)
+
+
+class StringField(Field):
+    def __init__(self, name: str, value: str, ftype: Optional[FieldType] = None,
+                 stored: bool = False):
+        ft = ftype or FieldType(
+            index_options=IndexOptions.DOCS, stored=stored, tokenized=False
+        )
+        super().__init__(name, value, ft)
+
+
+class StoredField(Field):
+    def __init__(self, name: str, value):
+        super().__init__(name, value, FieldType(stored=True))
+
+
+class NumericDocValuesField(Field):
+    def __init__(self, name: str, value: int):
+        super().__init__(
+            name, int(value), FieldType(doc_values_type=DocValuesType.NUMERIC)
+        )
+
+
+class BinaryDocValuesField(Field):
+    def __init__(self, name: str, value: bytes):
+        super().__init__(
+            name, bytes(value), FieldType(doc_values_type=DocValuesType.BINARY)
+        )
+
+
+class SortedDocValuesField(Field):
+    def __init__(self, name: str, value: Union[str, bytes]):
+        super().__init__(
+            name, value, FieldType(doc_values_type=DocValuesType.SORTED)
+        )
+
+
+class SortedNumericDocValuesField(Field):
+    def __init__(self, name: str, value: int):
+        super().__init__(
+            name, int(value),
+            FieldType(doc_values_type=DocValuesType.SORTED_NUMERIC),
+        )
+
+
+class SortedSetDocValuesField(Field):
+    def __init__(self, name: str, value: Union[str, bytes]):
+        super().__init__(
+            name, value, FieldType(doc_values_type=DocValuesType.SORTED_SET)
+        )
+
+
+class LongPointField(Field):
+    """1-D int64 point for numeric range queries (reference LongPointField)."""
+
+    def __init__(self, name: str, value: int):
+        super().__init__(
+            name, int(value), FieldType(point_dims=1, point_bytes=8)
+        )
+
+
+class DoublePointField(Field):
+    def __init__(self, name: str, value: float):
+        super().__init__(
+            name, float(value), FieldType(point_dims=1, point_bytes=8)
+        )
+
+
+class ArrayField(Field):
+    """Multi-valued field (reference design/15): each element tokenized."""
+
+    def __init__(self, name: str, values: Sequence[str],
+                 ftype: Optional[FieldType] = None):
+        super().__init__(name, list(values), ftype or TEXT_FIELD_TYPE)
+
+    def tokenize(self) -> List[str]:
+        if self.type.index_options == IndexOptions.NONE:
+            return []
+        out: List[str] = []
+        for v in self.value:
+            if self.type.tokenized:
+                out.extend(standard_tokenize(str(v)))
+            else:
+                out.append(str(v))
+        return out
+
+
+@dataclass
+class Document:
+    """Ordered container of fields (reference ``document/Document.h``)."""
+
+    fields: List[Field] = dc_field(default_factory=list)
+
+    def add(self, f: Field) -> "Document":
+        self.fields.append(f)
+        return self
+
+    def get_fields(self, name: str) -> List[Field]:
+        return [f for f in self.fields if f.name == name]
+
+    def get(self, name: str):
+        for f in self.fields:
+            if f.name == name:
+                return f.value
+        return None
+
+    def __iter__(self):
+        return iter(self.fields)
+
+    def __len__(self):
+        return len(self.fields)
