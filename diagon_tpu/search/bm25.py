@@ -83,4 +83,8 @@ class SimScorer:
             - np.float32(self.b)
             + np.float32(self.b) * field_len * inv_avgdl
         )
-        return (np.float32(self.idf) * freq / (freq + k)).astype(np.float32)
+        # Association: idf * (freq/(freq+k)) — the tf factor is computed
+        # first so the device LUT path (engine.make_tf_table) is bit-equal.
+        # (The C++ reference associates (idf*freq)/(freq+k); the difference
+        # is sub-ULP and never affects doc ordering.)
+        return (np.float32(self.idf) * (freq / (freq + k))).astype(np.float32)

@@ -1,0 +1,314 @@
+"""IndexSearcher: host orchestration of device query execution.
+
+The equivalent of the reference's ``IndexSearcher`` + Weight tree
+(``IndexSearcher.cpp:50-141``), redesigned: instead of a per-leaf iterator
+loop, each segment gets a flat device plan; per-segment device top-k results
+merge by (score desc, global docid asc) — the same ordering the reference's
+``TopScoreDocCollector`` produces.
+
+Query routing:
+
+- TermQuery / BooleanQuery over term clauses -> block-scoring kernel
+  (``engine.py``).
+- PhraseQuery -> device conjunction + position-intersection kernel
+  (``phrase.py``).
+- MatchAll / range queries and nested boolean trees -> scalar fallback on
+  the host segment copy (these are cheap metadata scans; device granule
+  kernels for columnar ranges live in ``diagon_tpu/columnar``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from diagon_tpu.index.segment import SegmentData
+from diagon_tpu.search.bm25 import BM25Similarity
+from diagon_tpu.search.device_index import (
+    DeviceSegment,
+    collection_stats,
+    load_segment,
+)
+from diagon_tpu.search.engine import (
+    SegmentExecutor,
+    SegmentPlan,
+    TermPlan,
+    build_segment_plan,
+    make_tf_table,
+)
+from diagon_tpu.search.query import (
+    BooleanQuery,
+    MatchAllDocsQuery,
+    NumericRangeQuery,
+    Occur,
+    PhraseQuery,
+    PointRangeQuery,
+    Query,
+    TermQuery,
+)
+from diagon_tpu.search.topdocs import ScoreDoc, TopDocs, merge_top_docs
+
+
+class _FieldContext:
+    """Collection-level scoring state for one field."""
+
+    def __init__(self, searcher: "IndexSearcher", field: str):
+        self.field = field
+        self.avgdl = collection_stats(
+            searcher.device_segments, field, searcher.max_doc
+        )
+        max_freq = 1
+        for ds in searcher.device_segments:
+            f = ds.fields.get(field)
+            if f is not None:
+                max_freq = max(max_freq, f.max_freq)
+        self.tf_lut = jnp.asarray(make_tf_table(self.avgdl, max_freq))
+        self.executors = [
+            SegmentExecutor(ds, field, self.tf_lut)
+            if field in ds.fields
+            else None
+            for ds in searcher.device_segments
+        ]
+
+
+class IndexSearcher:
+    def __init__(
+        self,
+        segments: Sequence[Union[SegmentData, DeviceSegment]],
+        device=None,
+    ):
+        self.device_segments: List[DeviceSegment] = [
+            s if isinstance(s, DeviceSegment) else load_segment(s, device)
+            for s in segments
+        ]
+        self.doc_bases = np.cumsum(
+            [0] + [s.num_docs for s in self.device_segments]
+        ).tolist()
+        self.max_doc = self.doc_bases[-1]
+        self.sim = BM25Similarity()
+        self._field_ctx: Dict[str, _FieldContext] = {}
+        self._phrase_execs: Dict[str, list] = {}
+
+    # -- stats -------------------------------------------------------------
+    def _ctx(self, field: str) -> _FieldContext:
+        ctx = self._field_ctx.get(field)
+        if ctx is None:
+            ctx = _FieldContext(self, field)
+            self._field_ctx[field] = ctx
+        return ctx
+
+    def term_doc_freq(self, field: str, text: str) -> int:
+        df = 0
+        for ds in self.device_segments:
+            f = ds.fields.get(field)
+            if f is None:
+                continue
+            tid = f.term_id(text)
+            if tid >= 0:
+                df += int(f.doc_freq[tid])
+        return df
+
+    def _idf(self, field: str, text: str, boost: float) -> np.float32:
+        df = self.term_doc_freq(field, text)
+        if df == 0:
+            df = max(1, self.max_doc // 10)  # reference fallback, never matches
+        return np.float32(self.sim.idf(df, self.max_doc) * np.float32(boost))
+
+    # -- plan construction ---------------------------------------------------
+    def _term_clauses(
+        self, query: Query
+    ) -> Optional[Tuple[str, List[Tuple[TermQuery, Occur]], int]]:
+        """Flatten into (field, [(TermQuery, occur)], min_should) if the
+        query is a term/boolean-of-terms query on a single field."""
+        if isinstance(query, TermQuery):
+            return query.term.field, [(query, Occur.SHOULD)], 1
+        if not isinstance(query, BooleanQuery):
+            return None
+        clauses: List[Tuple[TermQuery, Occur]] = []
+        field = None
+        for c in query.clauses:
+            if not isinstance(c.query, TermQuery):
+                return None
+            if field is None:
+                field = c.query.term.field
+            elif field != c.query.term.field:
+                return None
+            clauses.append((c.query, c.occur))
+        if field is None:
+            return None
+        min_should = query.minimum_number_should_match
+        has_required = any(
+            o in (Occur.MUST, Occur.FILTER) for _, o in clauses
+        )
+        has_should = any(o == Occur.SHOULD for _, o in clauses)
+        if has_should and not has_required:
+            min_should = max(min_should, 1)
+        if not has_should and not has_required:
+            return None  # pure MUST_NOT: matches nothing; handled by caller
+        return field, clauses, min_should
+
+    def _segment_plans(
+        self,
+        field: str,
+        clauses: List[Tuple[TermQuery, Occur]],
+        min_should: int,
+    ) -> List[Optional[SegmentPlan]]:
+        ctx = self._ctx(field)
+        # Deterministic accumulation order: sort scoring clauses by term text
+        # (matches the oracle's per-group sorted order).
+        def _key(item):
+            return item[0].term.text
+
+        must = sorted([c for c in clauses if c[1] == Occur.MUST], key=_key)
+        should = sorted([c for c in clauses if c[1] == Occur.SHOULD], key=_key)
+        filt = sorted([c for c in clauses if c[1] == Occur.FILTER], key=_key)
+        must_not = sorted(
+            [c for c in clauses if c[1] == Occur.MUST_NOT], key=_key
+        )
+
+        weights = {
+            id(q): float(self._idf(field, q.term.text, q.boost))
+            for q, _ in must + should
+        }
+
+        plans: List[Optional[SegmentPlan]] = []
+        for ds in self.device_segments:
+            f = ds.fields.get(field)
+            if f is None:
+                plans.append(None)
+                continue
+            tps: List[TermPlan] = []
+            for q, _ in must:
+                tps.append(
+                    TermPlan(
+                        f.term_id(q.term.text),
+                        weights[id(q)],
+                        required=True,
+                    )
+                )
+            for q, _ in filt:
+                tps.append(TermPlan(f.term_id(q.term.text), 0.0, required=True))
+            for q, _ in should:
+                tps.append(
+                    TermPlan(f.term_id(q.term.text), weights[id(q)], should=True)
+                )
+            for q, _ in must_not:
+                tps.append(TermPlan(f.term_id(q.term.text), 0.0, negated=True))
+            plans.append(
+                build_segment_plan(
+                    f, tps, min_should, float(1.0 / ctx.avgdl)
+                )
+            )
+        return plans
+
+    # -- public API ----------------------------------------------------------
+    def search(self, query: Query, k: int = 10) -> TopDocs:
+        tc = self._term_clauses(query)
+        if tc is not None:
+            field, clauses, min_should = tc
+            ctx = self._ctx(field)
+            plans = self._segment_plans(field, clauses, min_should)
+            parts: List[TopDocs] = []
+            for si, plan in enumerate(plans):
+                if plan is None:
+                    continue
+                ex = ctx.executors[si]
+                kk = min(k, self.device_segments[si].num_docs_pad)
+                scores, docs, hits = ex.top_k(plan, kk)
+                parts.append(
+                    self._to_topdocs(si, scores, docs, hits)
+                )
+            return merge_top_docs(parts, k)
+
+        if isinstance(query, PhraseQuery):
+            return self._search_phrase(query, k)
+
+        return self._fallback_search(query, k)
+
+    def count(self, query: Query) -> int:
+        tc = self._term_clauses(query)
+        if tc is not None:
+            field, clauses, min_should = tc
+            ctx = self._ctx(field)
+            plans = self._segment_plans(field, clauses, min_should)
+            total = 0
+            for si, plan in enumerate(plans):
+                if plan is None:
+                    continue
+                total += ctx.executors[si].count(plan)
+            return total
+        return self._fallback_count(query)
+
+    # -- phrase --------------------------------------------------------------
+    def _search_phrase(self, query: PhraseQuery, k: int) -> TopDocs:
+        from diagon_tpu.search.phrase import PhraseExecutor
+
+        ctx = self._ctx(query.field)
+        execs = self._phrase_execs.get(query.field)
+        if execs is None:
+            execs = [
+                PhraseExecutor(ds, query.field, ctx.tf_lut)
+                if query.field in ds.fields
+                else None
+                for ds in self.device_segments
+            ]
+            self._phrase_execs[query.field] = execs
+
+        # idf from the rarest term (PhraseQuery.cpp:304-338)
+        min_df = self.max_doc
+        for t in query.terms:
+            df = self.term_doc_freq(query.field, t)
+            if df > 0:
+                min_df = min(min_df, df)
+        if min_df <= 0:
+            min_df = 1
+        idf = float(
+            self.sim.idf(min_df, self.max_doc) * np.float32(query.boost)
+        )
+
+        parts: List[TopDocs] = []
+        for si, ex in enumerate(execs):
+            if ex is None:
+                continue
+            res = ex.top_k(query.terms, idf, k)
+            if res is None:
+                continue
+            scores, docs, hits = res
+            parts.append(self._to_topdocs(si, scores, docs, hits))
+        return merge_top_docs(parts, k)
+
+    # -- fallback (host scalar) ----------------------------------------------
+    def _host_segments(self) -> List[SegmentData]:
+        segs = []
+        for ds in self.device_segments:
+            if ds.source is None:
+                raise RuntimeError(
+                    "host fallback requires segments loaded with keep_source=True"
+                )
+            segs.append(ds.source)
+        return segs
+
+    def _fallback_search(self, query: Query, k: int) -> TopDocs:
+        from diagon_tpu.search.oracle import OracleSearcher
+
+        return OracleSearcher(self._host_segments()).search(query, k)
+
+    def _fallback_count(self, query: Query) -> int:
+        from diagon_tpu.search.oracle import OracleSearcher
+
+        return OracleSearcher(self._host_segments()).count(query)
+
+    # -- helpers ---------------------------------------------------------------
+    def _to_topdocs(self, si: int, scores, docs, hits) -> TopDocs:
+        scores = np.asarray(scores)
+        docs = np.asarray(docs)
+        hits = int(hits)
+        base = self.doc_bases[si]
+        sds = [
+            ScoreDoc(int(d) + base, float(s))
+            for s, d in zip(scores, docs)
+            if s >= 0.0
+        ][:hits]
+        return TopDocs(hits, sds)
