@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Headline benchmark: Reuters-class OR-20 query throughput on one TPU chip.
+
+Prints ONE JSON line to stdout:
+  {"metric": "reuters_or20_throughput", "value": <qps>, "unit": "qps",
+   "vs_baseline": <qps / 6060.6>}
+
+Baseline: the C++ reference's OR-20 P50 of 165 us/query on a 64-vCPU
+c7i.16xlarge (BASELINE.md) = 6,060.6 QPS single-stream. Target >= 10x.
+
+Corpus: deterministic Reuters-shaped synthetic corpus (19,043 docs — the
+real Reuters-21578 text is not redistributable here; see
+diagon_tpu/bench/synthetic.py). Queries: the reference benchmark's exact
+term lists (reuters_benchmark.cpp:193-268).
+
+Everything else (per-query latencies, parity checks, index stats) goes to
+stderr. --quick runs a small corpus for smoke testing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+CACHE_DIR = os.path.expanduser("~/.cache/diagon_tpu")
+BASELINE_OR20_QPS = 1e6 / 165.0  # reference OR-20 P50 165us -> 6060.6 QPS
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def build_or_load_segment(num_docs: int):
+    from diagon_tpu.bench.synthetic import corpus_documents
+    from diagon_tpu.index.memory_index import MemoryIndex
+    from diagon_tpu.index.segment import flush_memory_index
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    cache = os.path.join(CACHE_DIR, f"segment_{num_docs}.pkl")
+    if os.path.exists(cache):
+        log(f"loading cached segment {cache}")
+        with open(cache, "rb") as f:
+            seg, build_stats = pickle.load(f)
+        return seg, build_stats
+
+    log(f"building synthetic Reuters corpus ({num_docs} docs)...")
+    t0 = time.time()
+    mem = MemoryIndex()
+    n_tokens = 0
+    for doc in corpus_documents(num_docs=num_docs):
+        mem.add_document(doc)
+    t_ingest = time.time() - t0
+    t1 = time.time()
+    seg = flush_memory_index(mem, "_bench")
+    t_flush = time.time() - t1
+
+    build_stats = {
+        "ingest_s": t_ingest,
+        "flush_s": t_flush,
+        "docs_per_s": num_docs / (t_ingest + t_flush),
+    }
+    with open(cache, "wb") as f:
+        pickle.dump((seg, build_stats), f, protocol=4)
+    return seg, build_stats
+
+
+def index_bytes_per_doc(seg) -> dict:
+    out = {}
+    total = 0
+    for fname, fd in seg.fields.items():
+        pp = fd.postings
+        b = (
+            pp.packed.nbytes
+            + pp.block_base.nbytes
+            + pp.block_count.nbytes
+            + pp.block_doc_bits.nbytes
+            + pp.block_freq_bits.nbytes
+            + pp.block_word_off.nbytes
+            + pp.block_max_freq.nbytes
+            + pp.block_max_norm.nbytes
+            + pp.block_entry_start.nbytes
+            + fd.norms.nbytes
+            + sum(len(t) + 8 for t in pp.terms)
+        )
+        if pp.positions is not None:
+            b += pp.positions.nbytes + pp.pos_start.nbytes
+        out[fname] = b
+        total += b
+    out["total"] = total
+    out["bytes_per_doc"] = total / seg.num_docs
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="2k-doc smoke run")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--skip-parity", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(CACHE_DIR, "jax_cache")
+    )
+    log(f"jax backend: {jax.default_backend()} devices={jax.devices()}")
+
+    num_docs = 2000 if args.quick else 19043
+    seg, build_stats = build_or_load_segment(num_docs)
+    log(f"segment: {seg.num_docs} docs; build {build_stats}")
+    log(f"index size: {index_bytes_per_doc(seg)}")
+
+    from diagon_tpu.bench.queries import REUTERS_QUERIES
+    from diagon_tpu.search.searcher import IndexSearcher
+
+    t0 = time.time()
+    searcher = IndexSearcher([seg])
+    log(f"device load: {time.time() - t0:.2f}s")
+
+    # ---- parity: device top-10 must equal the scalar oracle ----
+    if not args.skip_parity:
+        from diagon_tpu.search.oracle import OracleSearcher
+
+        oracle = OracleSearcher([seg])
+        t0 = time.time()
+        for name, q in REUTERS_QUERIES.items():
+            want = oracle.search(q, 10)
+            got = searcher.search(q, 10)
+            assert got.doc_ids() == want.doc_ids(), (
+                f"PARITY FAIL {name}: {got.doc_ids()} != {want.doc_ids()}"
+            )
+            assert got.total_hits == want.total_hits, name
+            for o, d in zip(want.score_docs, got.score_docs):
+                assert o.score == d.score, (name, o, d)
+        log(f"parity: all {len(REUTERS_QUERIES)} queries bit-exact "
+            f"({time.time() - t0:.1f}s)")
+
+    # ---- per-query latency (single-stream, like the reference bench) ----
+    lat = {}
+    for name, q in REUTERS_QUERIES.items():
+        searcher.search(q, 10)  # warm/compile
+        times = []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            searcher.search(q, 10)
+            times.append(time.perf_counter() - t0)
+        lat[name] = float(np.percentile(times, 50) * 1e6)
+    log("single-stream P50 latency (us): "
+        + json.dumps({k: round(v, 1) for k, v in lat.items()}))
+
+    # ---- headline: OR-20 batched throughput ----
+    or20 = REUTERS_QUERIES["or20"]
+    Q = args.batch
+    batch = [or20] * Q
+    searcher.search_batch(batch, 10)  # compile
+    # steady state
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        searcher.search_batch(batch, 10)
+        times.append(time.perf_counter() - t0)
+    per_batch = float(np.median(times))
+    qps = Q / per_batch
+    log(f"or20 batched: Q={Q} per_batch={per_batch * 1e3:.2f}ms qps={qps:,.0f}")
+
+    result = {
+        "metric": "reuters_or20_throughput",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / BASELINE_OR20_QPS, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -266,7 +266,34 @@ def score_and_topk(
     final = jnp.where(mask, scores, jnp.float32(-1.0))
     top_scores, top_docs = jax.lax.top_k(final, k)
     hits = jnp.sum(mask.astype(jnp.int32))
-    return top_scores, top_docs, hits
+    # Fuse into one f32 vector [2k+1] (docids/hits bitcast) so the host
+    # needs a single device->host readback per call — the dominant cost on
+    # tunneled-TPU setups (~25 ms per fetch regardless of size).
+    fused = jnp.concatenate(
+        [
+            top_scores,
+            jax.lax.bitcast_convert_type(top_docs, jnp.float32),
+            jax.lax.bitcast_convert_type(hits[None], jnp.float32),
+        ]
+    )
+    return fused
+
+
+def unfuse_topk(fused: np.ndarray, k: int):
+    """Host-side decode of the fused kernel output -> (scores, docs, hits)."""
+    fused = np.ascontiguousarray(np.asarray(fused))
+    scores = fused[..., :k]
+    docs = fused[..., k : 2 * k].view(np.int32)
+    hits = fused[..., 2 * k : 2 * k + 1].view(np.int32)[..., 0]
+    return scores, docs, hits
+
+
+def unfuse_topk_device(fused: jnp.ndarray, k: int):
+    """Device-side decode (for composing into larger programs)."""
+    scores = fused[..., :k]
+    docs = jax.lax.bitcast_convert_type(fused[..., k : 2 * k], jnp.int32)
+    hits = jax.lax.bitcast_convert_type(fused[..., 2 * k], jnp.int32)
+    return scores, docs, hits
 
 
 @partial(jax.jit, static_argnames=("window_words",))
@@ -323,6 +350,56 @@ def count_matches(
     return jnp.sum(mask.astype(jnp.int32))
 
 
+@partial(jax.jit, static_argnames=("window_words", "k"))
+def score_and_topk_batch(
+    packed,
+    block_base,
+    block_count,
+    block_doc_bits,
+    block_freq_bits,
+    block_word_off,
+    norms,
+    tf_lut,
+    live_mask,
+    blocks,  # int32 [Q, B_pad] — a batch of Q query plans
+    weight,  # f32  [Q, B_pad]
+    req,
+    sho,
+    neg,  # f32  [Q, B_pad]
+    bool_params,  # f32 [Q, 2]
+    *,
+    window_words: int,
+    k: int,
+):
+    """Batched-query scoring: vmap of ``score_and_topk`` over the plan axis.
+
+    This is where the TPU wins its throughput target: Q queries share one
+    fused program, the per-query scatter/top-k units pipeline across the
+    batch, and host<->device round-trips amortize Q-fold. Returns the fused
+    [Q, 2k+1] output (see ``unfuse_topk``).
+    """
+    f = partial(score_and_topk, window_words=window_words, k=k)
+    return jax.vmap(
+        lambda b, w, r, s, n, p: f(
+            packed,
+            block_base,
+            block_count,
+            block_doc_bits,
+            block_freq_bits,
+            block_word_off,
+            norms,
+            tf_lut,
+            live_mask,
+            b,
+            w,
+            r,
+            s,
+            n,
+            p,
+        )
+    )(blocks, weight, req, sho, neg, bool_params)
+
+
 # ---------------------------------------------------------------------------
 # Segment executor
 # ---------------------------------------------------------------------------
@@ -342,6 +419,9 @@ class SegmentExecutor:
         self.segment = segment
         self.field = segment.field(field_name)
         self.tf_lut = tf_lut
+        # batched-plan device-array cache (keyed by plan identities; holds
+        # strong refs to the plans so ids stay valid)
+        self._batch_cache: Dict[tuple, tuple] = {}
         live = segment.live_docs
         if live is None:
             lm = np.zeros(segment.num_docs_pad, dtype=np.float32)
@@ -365,25 +445,31 @@ class SegmentExecutor:
         )
 
     def _plan_args(self, plan: SegmentPlan):
-        return (
-            jnp.asarray(plan.blocks),
-            jnp.asarray(plan.weight),
-            jnp.asarray(plan.req),
-            jnp.asarray(plan.sho),
-            jnp.asarray(plan.neg),
-            jnp.asarray(
-                [plan.num_required, plan.min_should], dtype=jnp.float32
-            ),
-        )
+        # Memoize the device copies on the plan (plans are immutable and
+        # cached by the searcher, so repeated queries skip the uploads).
+        dev = getattr(plan, "_dev_args", None)
+        if dev is None:
+            dev = (
+                jnp.asarray(plan.blocks),
+                jnp.asarray(plan.weight),
+                jnp.asarray(plan.req),
+                jnp.asarray(plan.sho),
+                jnp.asarray(plan.neg),
+                jnp.asarray(
+                    [plan.num_required, plan.min_should], dtype=jnp.float32
+                ),
+            )
+            plan._dev_args = dev
+        return dev
 
     def top_k(self, plan: SegmentPlan, k: int):
-        scores, docs, hits = score_and_topk(
+        fused = score_and_topk(
             *self._index_args(),
             *self._plan_args(plan),
             window_words=self.field.window_words,
             k=k,
         )
-        return scores, docs, hits
+        return unfuse_topk(fused, k)
 
     def count(self, plan: SegmentPlan) -> int:
         return int(
@@ -393,3 +479,44 @@ class SegmentExecutor:
                 window_words=self.field.window_words,
             )
         )
+
+    def top_k_batch(self, plans: Sequence[SegmentPlan], k: int):
+        """Run Q plans in one device program -> ([Q,k], [Q,k], [Q])."""
+        cache_key = tuple(id(p) for p in plans)
+        cached = self._batch_cache.get(cache_key)
+        if cached is not None:
+            plan_refs, dev_args = cached
+            fused = score_and_topk_batch(
+                *self._index_args(),
+                *dev_args,
+                window_words=self.field.window_words,
+                k=k,
+            )
+            return unfuse_topk(fused, k)
+        b_pad = _bucket(max(p.b_pad for p in plans))
+
+        def stack(get, fill, dtype):
+            out = np.full((len(plans), b_pad), fill, dtype=dtype)
+            for i, p in enumerate(plans):
+                v = get(p)
+                out[i, : len(v)] = v
+            return jnp.asarray(out)
+
+        blocks = stack(lambda p: p.blocks, -1, np.int32)
+        weight = stack(lambda p: p.weight, 0.0, np.float32)
+        req = stack(lambda p: p.req, 0.0, np.float32)
+        sho = stack(lambda p: p.sho, 0.0, np.float32)
+        neg = stack(lambda p: p.neg, 0.0, np.float32)
+        bool_params = jnp.asarray(
+            [[p.num_required, p.min_should] for p in plans], dtype=jnp.float32
+        )
+        dev_args = (blocks, weight, req, sho, neg, bool_params)
+        if len(self._batch_cache) < 64:
+            self._batch_cache[cache_key] = (list(plans), dev_args)
+        fused = score_and_topk_batch(
+            *self._index_args(),
+            *dev_args,
+            window_words=self.field.window_words,
+            k=k,
+        )
+        return unfuse_topk(fused, k)

@@ -127,7 +127,16 @@ def phrase_topk(
 
     top_scores, top_i = jax.lax.top_k(scores, k)
     top_docs = cand[top_i]
-    return top_scores, top_docs, hits, n_conj
+    # Single fused output -> one host readback (see engine.score_and_topk).
+    return jnp.concatenate(
+        [
+            top_scores,
+            jax.lax.bitcast_convert_type(top_docs, jnp.float32),
+            jax.lax.bitcast_convert_type(
+                jnp.stack([hits, n_conj]), jnp.float32
+            ),
+        ]
+    )
 
 
 class PhraseExecutor:
@@ -181,7 +190,7 @@ class PhraseExecutor:
         cand_cap = min(cand_cap, self.segment.num_docs_pad)
         pos_cap = max(8, 1 << int(np.ceil(np.log2(max(1, f.max_positions_per_entry)))))
 
-        scores, docs, hits, n_conj = phrase_topk(
+        fused = phrase_topk(
             f.packed,
             f.block_base,
             f.block_count,
@@ -203,6 +212,10 @@ class PhraseExecutor:
             pos_cap=pos_cap,
             k=min(k, cand_cap),
         )
-        # cand_cap >= min_df >= conjunction size, so no overflow is possible;
-        # assert in debug runs.
-        return scores, docs, int(hits)
+        kk = min(k, cand_cap)
+        fused = np.ascontiguousarray(np.asarray(fused))
+        scores = fused[:kk]
+        docs = fused[kk : 2 * kk].view(np.int32)
+        hits = int(fused[2 * kk : 2 * kk + 1].view(np.int32)[0])
+        # cand_cap >= min_df >= conjunction size, so no overflow is possible.
+        return scores, docs, hits

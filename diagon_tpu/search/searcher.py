@@ -90,6 +90,10 @@ class IndexSearcher:
         self.sim = BM25Similarity()
         self._field_ctx: Dict[str, _FieldContext] = {}
         self._phrase_execs: Dict[str, list] = {}
+        # Searchers are point-in-time readers (segments immutable), so both
+        # caches are valid for the searcher's lifetime.
+        self._idf_cache: Dict[Tuple[str, str, float], np.float32] = {}
+        self._plan_cache: Dict[tuple, List[Optional[SegmentPlan]]] = {}
 
     # -- stats -------------------------------------------------------------
     def _ctx(self, field: str) -> _FieldContext:
@@ -111,10 +115,15 @@ class IndexSearcher:
         return df
 
     def _idf(self, field: str, text: str, boost: float) -> np.float32:
-        df = self.term_doc_freq(field, text)
-        if df == 0:
-            df = max(1, self.max_doc // 10)  # reference fallback, never matches
-        return np.float32(self.sim.idf(df, self.max_doc) * np.float32(boost))
+        key = (field, text, boost)
+        v = self._idf_cache.get(key)
+        if v is None:
+            df = self.term_doc_freq(field, text)
+            if df == 0:
+                df = max(1, self.max_doc // 10)  # reference fallback
+            v = np.float32(self.sim.idf(df, self.max_doc) * np.float32(boost))
+            self._idf_cache[key] = v
+        return v
 
     # -- plan construction ---------------------------------------------------
     def _term_clauses(
@@ -155,6 +164,16 @@ class IndexSearcher:
         clauses: List[Tuple[TermQuery, Occur]],
         min_should: int,
     ) -> List[Optional[SegmentPlan]]:
+        cache_key = (
+            field,
+            tuple(
+                sorted((o.value, q.term.text, q.boost) for q, o in clauses)
+            ),
+            min_should,
+        )
+        cached = self._plan_cache.get(cache_key)
+        if cached is not None:
+            return cached
         ctx = self._ctx(field)
         # Deterministic accumulation order: sort scoring clauses by term text
         # (matches the oracle's per-group sorted order).
@@ -201,6 +220,7 @@ class IndexSearcher:
                     f, tps, min_should, float(1.0 / ctx.avgdl)
                 )
             )
+        self._plan_cache[cache_key] = plans
         return plans
 
     # -- public API ----------------------------------------------------------
@@ -226,6 +246,48 @@ class IndexSearcher:
             return self._search_phrase(query, k)
 
         return self._fallback_search(query, k)
+
+    def search_batch(self, queries: Sequence[Query], k: int = 10) -> List[TopDocs]:
+        """Execute a batch of term/boolean queries in one device program per
+        segment. Results are identical to per-query ``search``; throughput is
+        the point (the reference has no equivalent — it is single-query
+        doc-at-a-time)."""
+        flat: List[Tuple[str, List[Tuple[TermQuery, Occur]], int]] = []
+        for q in queries:
+            tc = self._term_clauses(q)
+            if tc is None:
+                raise ValueError(
+                    f"search_batch supports term/boolean-of-term queries; got {q!r}"
+                )
+            flat.append(tc)
+        fields = {f for f, _, _ in flat}
+        if len(fields) != 1:
+            raise ValueError("search_batch requires a single field per batch")
+        field = fields.pop()
+        ctx = self._ctx(field)
+
+        per_seg_plans: List[List[SegmentPlan]] = []
+        for f, clauses, min_should in flat:
+            per_seg_plans.append(self._segment_plans(field, clauses, min_should))
+
+        results: List[List[TopDocs]] = [[] for _ in queries]
+        for si, ds in enumerate(self.device_segments):
+            if field not in ds.fields:
+                continue
+            plans = [pp[si] for pp in per_seg_plans]
+            if any(p is None for p in plans):
+                continue
+            ex = ctx.executors[si]
+            kk = min(k, ds.num_docs_pad)
+            scores, docs, hits = ex.top_k_batch(plans, kk)
+            scores = np.asarray(scores)
+            docs = np.asarray(docs)
+            hits = np.asarray(hits)
+            for qi in range(len(queries)):
+                results[qi].append(
+                    self._to_topdocs(si, scores[qi], docs[qi], hits[qi])
+                )
+        return [merge_top_docs(parts, k) for parts in results]
 
     def count(self, query: Query) -> int:
         tc = self._term_clauses(query)

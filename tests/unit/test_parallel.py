@@ -1,0 +1,89 @@
+"""Sharded search over an 8-device virtual CPU mesh vs single-device oracle."""
+
+import numpy as np
+import pytest
+
+from diagon_tpu.document import Document, TextField
+from diagon_tpu.index.memory_index import MemoryIndex
+from diagon_tpu.index.segment import flush_memory_index
+from diagon_tpu.parallel.sharded import ShardedSearcher, merge_topk
+from diagon_tpu.search.oracle import OracleSearcher
+from diagon_tpu.search.query import BooleanQuery, Occur, TermQuery
+
+
+def _texts(rng, n, vocab, mean_len=30):
+    out = []
+    for _ in range(n):
+        ln = max(1, int(rng.normal(mean_len, 8)))
+        out.append(" ".join(rng.choice(vocab, size=ln)))
+    return out
+
+
+VOCAB = np.asarray(
+    [f"w{i}" for i in range(80)] + ["oil", "price", "trade"], dtype=object
+)
+
+
+def _build_shards(rng, sizes):
+    shards = []
+    for i, n in enumerate(sizes):
+        mem = MemoryIndex()
+        for t in _texts(rng, n, VOCAB):
+            mem.add_document(Document().add(TextField("body", t)))
+        shards.append(flush_memory_index(mem, f"_s{i}"))
+    return shards
+
+
+def test_merge_topk_ordering():
+    import jax.numpy as jnp
+
+    scores = jnp.asarray([[1.0, 2.0, 2.0, 0.5, 2.0]])
+    docs = jnp.asarray([[7, 9, 3, 1, 5]], dtype=jnp.int32)
+    s, d = merge_topk(scores, docs, 4)
+    np.testing.assert_array_equal(np.asarray(d[0]), [3, 5, 9, 7])
+    np.testing.assert_array_equal(np.asarray(s[0]), [2.0, 2.0, 2.0, 1.0])
+
+
+@pytest.fixture(scope="module")
+def sharded():
+    import jax
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    n_dev = len(jax.devices())
+    assert n_dev >= 2, "tests require the virtual multi-device CPU mesh"
+    sizes = [100 + 30 * i for i in range(n_dev)]
+    shards = _build_shards(rng, sizes)
+    return shards, ShardedSearcher(shards, "body"), OracleSearcher(shards)
+
+
+def test_sharded_term_query(sharded):
+    _, ss, oracle = sharded
+    q = TermQuery("body", "oil")
+    otd = oracle.search(q, 10)
+    std = ss.search(q, 10)
+    assert std.total_hits == otd.total_hits
+    assert std.doc_ids() == otd.doc_ids()
+    for o, d in zip(otd.score_docs, std.score_docs):
+        assert o.score == d.score
+
+
+def test_sharded_boolean_batch(sharded):
+    _, ss, oracle = sharded
+    queries = []
+    b = BooleanQuery.Builder()
+    for t in ["oil", "price", "w3", "w10"]:
+        b.add(TermQuery("body", t), Occur.SHOULD)
+    queries.append(b.build())
+    b2 = BooleanQuery.Builder()
+    b2.add(TermQuery("body", "oil"), Occur.MUST)
+    b2.add(TermQuery("body", "price"), Occur.MUST)
+    queries.append(b2.build())
+    queries.append(TermQuery("body", "w1"))
+
+    results = ss.search_batch(queries, 10)
+    for q, got in zip(queries, results):
+        want = oracle.search(q, 10)
+        assert got.total_hits == want.total_hits
+        assert got.doc_ids() == want.doc_ids()
+        for o, d in zip(want.score_docs, got.score_docs):
+            assert o.score == d.score
