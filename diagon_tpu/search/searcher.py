@@ -76,9 +76,12 @@ class _FieldContext:
 class IndexSearcher:
     def __init__(
         self,
-        segments: Sequence[Union[SegmentData, DeviceSegment]],
+        segments: Union[Sequence[Union[SegmentData, DeviceSegment]], "object"],
         device=None,
     ):
+        # Accept a DirectoryReader (duck-typed to avoid an import cycle).
+        if hasattr(segments, "segments_data"):
+            segments = segments.segments_data()
         self.device_segments: List[DeviceSegment] = [
             s if isinstance(s, DeviceSegment) else load_segment(s, device)
             for s in segments
