@@ -266,14 +266,17 @@ def score_and_topk(
     final = jnp.where(mask, scores, jnp.float32(-1.0))
     top_scores, top_docs = jax.lax.top_k(final, k)
     hits = jnp.sum(mask.astype(jnp.int32))
-    # Fuse into one f32 vector [2k+1] (docids/hits bitcast) so the host
-    # needs a single device->host readback per call — the dominant cost on
-    # tunneled-TPU setups (~25 ms per fetch regardless of size).
+    # Fuse into one f32 vector [2k+1] so the host needs a single
+    # device->host readback per call — the dominant cost on tunneled-TPU
+    # setups (~25 ms per fetch regardless of size). Docids/hit counts are
+    # carried as exact f32 VALUES (exact below 2^24) — NOT bitcast patterns,
+    # which would be denormals for small ints and get flushed to zero by
+    # the TPU's FTZ arithmetic.
     fused = jnp.concatenate(
         [
             top_scores,
-            jax.lax.bitcast_convert_type(top_docs, jnp.float32),
-            jax.lax.bitcast_convert_type(hits[None], jnp.float32),
+            top_docs.astype(jnp.float32),
+            hits[None].astype(jnp.float32),
         ]
     )
     return fused
@@ -281,18 +284,18 @@ def score_and_topk(
 
 def unfuse_topk(fused: np.ndarray, k: int):
     """Host-side decode of the fused kernel output -> (scores, docs, hits)."""
-    fused = np.ascontiguousarray(np.asarray(fused))
+    fused = np.asarray(fused)
     scores = fused[..., :k]
-    docs = fused[..., k : 2 * k].view(np.int32)
-    hits = fused[..., 2 * k : 2 * k + 1].view(np.int32)[..., 0]
+    docs = fused[..., k : 2 * k].astype(np.int32)
+    hits = fused[..., 2 * k].astype(np.int32)
     return scores, docs, hits
 
 
 def unfuse_topk_device(fused: jnp.ndarray, k: int):
     """Device-side decode (for composing into larger programs)."""
     scores = fused[..., :k]
-    docs = jax.lax.bitcast_convert_type(fused[..., k : 2 * k], jnp.int32)
-    hits = jax.lax.bitcast_convert_type(fused[..., 2 * k], jnp.int32)
+    docs = fused[..., k : 2 * k].astype(jnp.int32)
+    hits = fused[..., 2 * k].astype(jnp.int32)
     return scores, docs, hits
 
 

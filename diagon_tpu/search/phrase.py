@@ -127,14 +127,13 @@ def phrase_topk(
 
     top_scores, top_i = jax.lax.top_k(scores, k)
     top_docs = cand[top_i]
-    # Single fused output -> one host readback (see engine.score_and_topk).
+    # Single fused output -> one host readback. Ints travel as exact f32
+    # values (not bitcasts — TPU FTZ flushes denormal bit patterns to 0).
     return jnp.concatenate(
         [
             top_scores,
-            jax.lax.bitcast_convert_type(top_docs, jnp.float32),
-            jax.lax.bitcast_convert_type(
-                jnp.stack([hits, n_conj]), jnp.float32
-            ),
+            top_docs.astype(jnp.float32),
+            jnp.stack([hits, n_conj]).astype(jnp.float32),
         ]
     )
 
@@ -213,9 +212,9 @@ class PhraseExecutor:
             k=min(k, cand_cap),
         )
         kk = min(k, cand_cap)
-        fused = np.ascontiguousarray(np.asarray(fused))
+        fused = np.asarray(fused)
         scores = fused[:kk]
-        docs = fused[kk : 2 * kk].view(np.int32)
-        hits = int(fused[2 * kk : 2 * kk + 1].view(np.int32)[0])
+        docs = fused[kk : 2 * kk].astype(np.int32)
+        hits = int(fused[2 * kk])
         # cand_cap >= min_df >= conjunction size, so no overflow is possible.
         return scores, docs, hits

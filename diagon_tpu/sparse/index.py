@@ -1,0 +1,146 @@
+"""Quantized sparse-vector index + device searcher.
+
+Build: per term, (doc, weight) postings; weights quantize to 8-bit bins
+with a per-term scale (``bin = round(w / scale)``, ``scale = max_w / 255``)
+— the QBlock quantization idea (reference ``QBlockIndex.h:20-48``) applied
+to the Sindi block layout (``SindiIndex.h:20-70``). Bins ride the packed
+block format's freq lanes; per-block max bin is the WAND-style upper bound.
+
+Search: score = sum_t q_w[t] * scale[t] * bin — executed by the SAME
+block kernel as boolean text queries, with
+
+- per-term block weight  = q_w[t] * scale[t]
+- norms                 = all-zero (so the LUT row is row 0)
+- tf LUT row 0          = identity: lut[bin] = bin
+
+so ``weight * lut[bin]`` is exactly the dequantized partial dot product.
+Quantization error is <= scale/2 per posting (documented approximation,
+as in the reference's quantized indexes).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from diagon_tpu.codecs.postings import build_packed_postings
+from diagon_tpu.index.segment import SegmentData, SegmentFieldData
+from diagon_tpu.search.device_index import load_segment
+from diagon_tpu.search.engine import (
+    SegmentExecutor,
+    TermPlan,
+    build_segment_plan,
+)
+from diagon_tpu.sparse.vector import SparseVector
+
+NUM_BINS = 255
+
+
+class SparseIndex:
+    """Immutable quantized sparse index over a corpus of sparse vectors."""
+
+    def __init__(self, seg: SegmentData, scales: Dict[str, float]):
+        self.segment = seg
+        self.scales = scales
+        self.num_docs = seg.num_docs
+
+    @staticmethod
+    def build(vectors: Sequence[SparseVector], name: str = "_sparse") -> "SparseIndex":
+        by_term: Dict[int, Tuple[List[int], List[float]]] = {}
+        for doc_id, vec in enumerate(vectors):
+            for t, w in zip(vec.ids, vec.values):
+                e = by_term.setdefault(int(t), ([], []))
+                e[0].append(doc_id)
+                e[1].append(float(w))
+
+        postings = {}
+        scales: Dict[str, float] = {}
+        for t, (docs, ws) in by_term.items():
+            key = str(t)
+            ws_arr = np.asarray(ws, dtype=np.float32)
+            scale = float(ws_arr.max()) / NUM_BINS if len(ws_arr) else 1.0
+            if scale <= 0:
+                scale = 1.0
+            bins = np.clip(
+                np.round(ws_arr / np.float32(scale)), 1, NUM_BINS
+            ).astype(np.int64)
+            postings[key] = (np.asarray(docs, dtype=np.int64), bins)
+            scales[key] = scale
+
+        pp = build_packed_postings(postings)
+        pp.doc_count_with_field = len(vectors)
+        seg = SegmentData(name=name, num_docs=len(vectors))
+        seg.fields["_sparse"] = SegmentFieldData(
+            postings=pp,
+            norms=np.zeros(len(vectors), dtype=np.uint8),
+            with_positions=False,
+        )
+        return SparseIndex(seg, scales)
+
+    def dequantized_weight(self, term: int, bin_value: int) -> float:
+        return self.scales[str(term)] * bin_value
+
+
+class SparseSearcher:
+    """Device executor for a SparseIndex (approximate to quantization)."""
+
+    def __init__(self, index: SparseIndex, device=None):
+        self.index = index
+        self.device_segment = load_segment(index.segment, device)
+        f = self.device_segment.fields["_sparse"]
+        # identity dequant LUT: norms are all 0, so only row 0 is read;
+        # fill every row anyway (cheap, robust).
+        F = f.max_freq + 1
+        lut = np.tile(np.arange(F, dtype=np.float32), 128)
+        self.tf_lut = jnp.asarray(lut)
+        self.executor = SegmentExecutor(
+            self.device_segment, "_sparse", self.tf_lut
+        )
+        self.field = f
+
+    def search(self, query: SparseVector, k: int = 10):
+        """Top-k docs by quantized dot product -> (scores, docids, hits)."""
+        f = self.field
+        tps = []
+        for t, w in zip(query.ids, query.values):
+            key = str(int(t))
+            tid = f.term_id(key)
+            if tid < 0:
+                continue
+            weight = float(w) * self.index.scales[key]
+            tps.append(TermPlan(tid, weight, should=True))
+        if not tps:
+            return (
+                np.zeros(0, np.float32),
+                np.zeros(0, np.int32),
+                0,
+            )
+        plan = build_segment_plan(f, tps, min_should=1, inv_avgdl=1.0)
+        scores, docs, hits = self.executor.top_k(
+            plan, min(k, self.device_segment.num_docs_pad)
+        )
+        n = min(int(hits), k)
+        return scores[:n], docs[:n], int(hits)
+
+    def search_oracle(self, query: SparseVector, k: int = 10):
+        """Exact numpy scoring of the QUANTIZED index (test oracle)."""
+        from diagon_tpu.codecs.postings import decode_block_numpy
+
+        pp = self.index.segment.fields["_sparse"].postings
+        scores = np.zeros(self.index.num_docs, dtype=np.float32)
+        matched = np.zeros(self.index.num_docs, dtype=bool)
+        for t, w in zip(query.ids, query.values):
+            key = str(int(t))
+            tid = pp.term_id(key)
+            if tid < 0:
+                continue
+            weight = np.float32(float(w) * self.index.scales[key])
+            for b in range(int(pp.block_start[tid]), int(pp.block_start[tid + 1])):
+                docs, bins = decode_block_numpy(pp, b)
+                scores[docs] += weight * bins.astype(np.float32)
+                matched[docs] = True
+        order = np.lexsort((np.arange(len(scores)), -scores))
+        order = [d for d in order if matched[d]][:k]
+        return scores[order], np.asarray(order, np.int32), int(matched.sum())

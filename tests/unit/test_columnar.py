@@ -1,0 +1,165 @@
+"""Columnar layer tests: columns, compression, skip indexes, store
+round-trip, device scan kernels vs numpy oracle."""
+
+import numpy as np
+import pytest
+
+from diagon_tpu.columnar import (
+    CODECS,
+    ColumnarTable,
+    DeviceTable,
+    Float64Column,
+    Int64Column,
+    StringColumn,
+    compress,
+    decompress,
+    read_table,
+    write_table,
+)
+from diagon_tpu.columnar.table import BloomIndex, MinMaxIndex, hash_bytes64
+from diagon_tpu.store import RAMDirectory
+
+
+def test_numeric_column_ops():
+    c = Int64Column([3, 1, 4, 1, 5])
+    assert len(c) == 5 and c[2] == 4
+    c.insert(9)
+    assert len(c) == 6
+    f = c.filter(np.array([1, 0, 1, 0, 0, 1], bool))
+    np.testing.assert_array_equal(f.values, [3, 4, 9])
+    cut = c.cut(1, 3)
+    np.testing.assert_array_equal(cut.values, [1, 4, 1])
+    assert c.compare_at(0, 1, c) == 1  # 3 > 1
+
+
+def test_string_column():
+    c = StringColumn(["alpha", "b", ""])
+    assert len(c) == 3
+    assert c[0] == b"alpha" and c[2] == b""
+    c.insert("zz")
+    assert c[3] == b"zz"
+    f = c.filter([True, False, False, True])
+    assert f.tolist() == [b"alpha", b"zz"]
+
+
+@pytest.mark.parametrize("chain", [
+    ["none"], ["zlib"], ["delta"], ["delta", "zlib"],
+    ["doubledelta"], ["t64"], ["delta", "t64", "zlib"],
+])
+def test_codec_chains_int64(chain):
+    rng = np.random.Generator(np.random.PCG64(5))
+    v = np.cumsum(rng.integers(0, 100, size=1000)).astype(np.int64)
+    blob = compress(v.tobytes(), chain)
+    out = np.frombuffer(decompress(blob), dtype=np.int64)
+    np.testing.assert_array_equal(out, v)
+
+
+def test_gorilla_floats():
+    rng = np.random.Generator(np.random.PCG64(6))
+    v = rng.normal(100, 1, size=500)
+    blob = compress(v.tobytes(), ["gorilla", "zlib"])
+    out = np.frombuffer(decompress(blob), dtype=np.float64)
+    np.testing.assert_array_equal(out, v)
+
+
+def test_compression_actually_compresses():
+    v = np.arange(8192, dtype=np.int64)  # perfectly delta-compressible
+    blob = compress(v.tobytes(), ["delta", "t64", "zlib"])
+    assert len(blob) < len(v.tobytes()) / 20
+
+
+def test_minmax_index():
+    v = np.arange(20000, dtype=np.int64)
+    mm = MinMaxIndex.build(v, granule_rows=8192)
+    assert len(mm.mins) == 3
+    np.testing.assert_array_equal(mm.mins, [0, 8192, 16384])
+    ok = mm.granules_maybe_in_range(10000, 12000)
+    np.testing.assert_array_equal(ok, [False, True, False])
+    ok2 = mm.granules_maybe_in_range(None, 5)
+    np.testing.assert_array_equal(ok2, [True, False, False])
+
+
+def test_bloom_index():
+    vals = [f"user{i}".encode() for i in range(10000)]
+    hashed = np.asarray([hash_bytes64(v) for v in vals], dtype=np.uint64)
+    bl = BloomIndex.build(hashed, granule_rows=8192)
+    # present value: its granule must say maybe
+    assert bl.granules_maybe_contain(hash_bytes64(b"user3"))[0]
+    assert bl.granules_maybe_contain(hash_bytes64(b"user9000"))[1]
+    # absent value: at least mostly pruned (allow bloom false positives)
+    fp = sum(
+        bool(bl.granules_maybe_contain(hash_bytes64(f"missing{i}".encode())).any())
+        for i in range(50)
+    )
+    assert fp < 25
+
+
+def _table(n=20000, seed=3):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    t = ColumnarTable()
+    t.add_column("ts", Int64Column(np.sort(rng.integers(0, 1 << 20, n))))
+    t.add_column("price", Float64Column(rng.random(n) * 100))
+    t.add_column("group", Int64Column(rng.integers(0, 8, n)), minmax=False)
+    t.add_column(
+        "name",
+        StringColumn([f"item{int(i)}" for i in rng.integers(0, 500, n)]),
+        bloom=True,
+    )
+    return t
+
+
+def test_table_store_roundtrip():
+    t = _table()
+    d = RAMDirectory()
+    write_table(d, "tbl", t)
+    got = read_table(d, "tbl", verify_checksums=True)
+    assert got.num_rows == t.num_rows
+    np.testing.assert_array_equal(
+        got.columns["ts"].values, t.columns["ts"].values
+    )
+    np.testing.assert_array_equal(
+        got.columns["price"].values, t.columns["price"].values
+    )
+    assert got.columns["name"][5] == t.columns["name"][5]
+    np.testing.assert_array_equal(
+        got.minmax["ts"].mins, t.minmax["ts"].mins
+    )
+    np.testing.assert_array_equal(got.bloom["name"].words, t.bloom["name"].words)
+
+
+def test_device_range_agg_matches_numpy():
+    t = _table()
+    dt = DeviceTable(t)
+    ts = t.columns["ts"].values
+    price = t.columns["price"].values
+
+    lo, hi = 100000, 600000
+    got = dt.range_agg("ts", lo, hi, agg_col="price")
+    mask = (ts >= lo) & (ts <= hi)
+    assert got["count"] == int(mask.sum())
+    assert got["min"] == np.float32(price[mask].astype(np.float32).min())
+    assert got["max"] == np.float32(price[mask].astype(np.float32).max())
+    assert abs(got["sum"] - price[mask].sum()) / price[mask].sum() < 1e-3
+    # sorted ts -> granule pruning must actually skip granules
+    assert got["granules_scanned"] < got["granules_total"]
+
+    empty = dt.range_agg("ts", 1 << 30, None)
+    assert empty["count"] == 0 and empty["min"] is None
+
+
+def test_device_group_agg_matches_numpy():
+    t = _table()
+    dt = DeviceTable(t)
+    ts = t.columns["ts"].values
+    grp = t.columns["group"].values
+    price = t.columns["price"].values
+
+    got = dt.range_group_agg("ts", "group", 8, lower=0, upper=500000,
+                             agg_col="price")
+    mask = (ts >= 0) & (ts <= 500000)
+    for g in range(8):
+        want = int((mask & (grp == g)).sum())
+        assert int(got["group_counts"][g]) == want
+        ws = price[mask & (grp == g)].sum()
+        if want:
+            assert abs(float(got["group_sums"][g]) - ws) / max(ws, 1) < 1e-2

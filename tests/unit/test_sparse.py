@@ -1,0 +1,86 @@
+"""Sparse-vector index tests: quantization, device-vs-oracle parity."""
+
+import numpy as np
+import pytest
+
+from diagon_tpu.sparse import SparseIndex, SparseSearcher, SparseVector
+
+
+def _random_vectors(rng, n_docs, vocab=500, nnz=30):
+    out = []
+    for _ in range(n_docs):
+        k = int(rng.integers(5, nnz))
+        ids = np.sort(rng.choice(vocab, size=k, replace=False))
+        vals = rng.random(k).astype(np.float32) * 3 + 0.01
+        out.append(SparseVector(ids, vals))
+    return out
+
+
+def test_sparse_vector_dot():
+    a = SparseVector([1, 5, 9], [1.0, 2.0, 3.0])
+    b = SparseVector([5, 9, 11], [10.0, 1.0, 7.0])
+    assert a.dot(b) == 23.0
+    assert len(a) == 3
+
+
+def test_sparse_vector_sorts():
+    v = SparseVector([9, 1], [2.0, 1.0])
+    np.testing.assert_array_equal(v.ids, [1, 9])
+    np.testing.assert_array_equal(v.values, [1.0, 2.0])
+
+
+def test_quantization_error_bounded():
+    rng = np.random.Generator(np.random.PCG64(3))
+    vecs = _random_vectors(rng, 200)
+    idx = SparseIndex.build(vecs)
+    # reconstruct each stored weight; error <= scale (ceil/round to >=1 bin)
+    from diagon_tpu.codecs.postings import decode_block_numpy
+
+    pp = idx.segment.fields["_sparse"].postings
+    for tid, term in enumerate(pp.terms[:50]):
+        scale = idx.scales[term]
+        for b in range(int(pp.block_start[tid]), int(pp.block_start[tid + 1])):
+            docs, bins = decode_block_numpy(pp, b)
+            for d, bn in zip(docs, bins):
+                orig = dict(zip(vecs[d].ids, vecs[d].values))[int(term)]
+                assert abs(bn * scale - orig) <= scale * 0.5 + 1e-6
+
+
+def test_device_matches_quantized_oracle():
+    rng = np.random.Generator(np.random.PCG64(4))
+    vecs = _random_vectors(rng, 600)
+    idx = SparseIndex.build(vecs)
+    searcher = SparseSearcher(idx)
+
+    for qseed in range(3):
+        qrng = np.random.Generator(np.random.PCG64(100 + qseed))
+        q = _random_vectors(qrng, 1, nnz=12)[0]
+        ds, dd, dh = searcher.search(q, 10)
+        os_, od, oh = searcher.search_oracle(q, 10)
+        assert dh == oh
+        np.testing.assert_array_equal(dd, od)
+        np.testing.assert_array_equal(ds, os_)
+
+
+def test_quantized_topk_close_to_exact():
+    """Quantized top-10 should track exact dot-product top-10 closely."""
+    rng = np.random.Generator(np.random.PCG64(9))
+    vecs = _random_vectors(rng, 400)
+    idx = SparseIndex.build(vecs)
+    searcher = SparseSearcher(idx)
+    q = _random_vectors(np.random.Generator(np.random.PCG64(77)), 1)[0]
+
+    exact = np.asarray([q.dot(v) for v in vecs])
+    exact_top = set(np.argsort(-exact)[:10].tolist())
+    _, dd, _ = searcher.search(q, 10)
+    overlap = len(exact_top & set(int(d) for d in dd))
+    assert overlap >= 8  # 255-bin quantization barely perturbs ranking
+
+
+def test_missing_terms_query():
+    vecs = _random_vectors(np.random.Generator(np.random.PCG64(5)), 50)
+    idx = SparseIndex.build(vecs)
+    searcher = SparseSearcher(idx)
+    q = SparseVector([99999], [1.0])
+    scores, docs, hits = searcher.search(q, 10)
+    assert hits == 0 and len(scores) == 0
