@@ -232,6 +232,162 @@ def build_packed_postings(
     return pp
 
 
+def build_packed_postings_csr(
+    terms: List[str],
+    entry_start: np.ndarray,  # int64 [T+1] CSR into docs/freqs
+    docs: np.ndarray,  # int32/int64 [NE] ascending per term
+    freqs: np.ndarray,  # int32/int64 [NE]
+    pos_start: Optional[np.ndarray] = None,  # int64 [NE+1]
+    positions: Optional[np.ndarray] = None,  # int32 [NP]
+    norms: Optional[np.ndarray] = None,
+) -> PackedPostings:
+    """Fully vectorized packer over CSR postings (no per-term Python loop).
+
+    This is the flush hot path fed by the native (C++) accumulator: every
+    per-block quantity (bit widths, word offsets, maxima) is a segmented
+    numpy reduction, and the bit-packing itself is one scatter-add of
+    shifted values into the shared word stream — the same math as
+    ``pack_u32`` applied to all blocks at once.
+    """
+    T = len(terms)
+    entry_start = np.asarray(entry_start, dtype=np.int64)
+    docs = np.asarray(docs, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    NE = len(docs)
+    df = np.diff(entry_start)
+
+    if NE == 0 or T == 0:
+        return build_packed_postings({}, None, norms)
+
+    # --- entry -> term / block mapping (all vectorized) -----------------
+    ent_term = np.repeat(np.arange(T, dtype=np.int64), df)
+    ent_pos_in_term = np.arange(NE, dtype=np.int64) - entry_start[ent_term]
+    ent_block_in_term = ent_pos_in_term >> 7  # // BLOCK_SIZE
+    blocks_per_term = (df + BLOCK_SIZE - 1) >> 7
+    block_start = np.zeros(T + 1, dtype=np.int32)
+    np.cumsum(blocks_per_term, out=block_start[1:])
+    NB = int(block_start[T])
+    ent_block = (block_start[ent_term] + ent_block_in_term).astype(np.int64)
+    ent_lane = ent_pos_in_term & (BLOCK_SIZE - 1)
+
+    # first entry of each block
+    is_first = ent_lane == 0
+    first_idx = np.nonzero(is_first)[0]  # [NB] ascending
+    block_count = np.minimum(
+        df[ent_term[first_idx]] - ent_pos_in_term[first_idx], BLOCK_SIZE
+    ).astype(np.int32)
+    block_term = ent_term[first_idx].astype(np.int32)
+    block_base = docs[first_idx].astype(np.int32)
+    block_entry_start = np.zeros(NB + 1, dtype=np.int64)
+    block_entry_start[:NB] = first_idx
+    block_entry_start[NB] = NE
+
+    # --- deltas ----------------------------------------------------------
+    deltas = np.empty(NE, dtype=np.int64)
+    deltas[0] = 0
+    deltas[1:] = docs[1:] - docs[:-1]
+    deltas[first_idx] = 0  # first lane of each block
+
+    # --- per-block maxima via reduceat ------------------------------------
+    red = first_idx  # segment starts
+    block_max_delta = np.maximum.reduceat(deltas, red)
+    block_max_freq_arr = np.maximum.reduceat(freqs, red).astype(np.int32)
+    if norms is not None:
+        block_max_norm = np.maximum.reduceat(
+            norms[docs].astype(np.int64), red
+        ).astype(np.int32)
+    else:
+        block_max_norm = np.full(NB, 127, dtype=np.int32)
+
+    bl = np.vectorize(lambda m: max(1, int(m).bit_length()), otypes=[np.int64])
+    block_doc_bits = np.maximum(
+        1, np.where(block_max_delta > 0,
+                    np.ceil(np.log2(block_max_delta + 1)).astype(np.int64), 1)
+    )
+    # log2-based width can undershoot on exact powers; verify and fix:
+    under = block_max_delta >= (np.int64(1) << block_doc_bits)
+    block_doc_bits[under] += 1
+    block_freq_bits = np.maximum(
+        1, np.where(block_max_freq_arr > 0,
+                    np.ceil(np.log2(block_max_freq_arr.astype(np.int64) + 1)).astype(np.int64), 1)
+    )
+    under = block_max_freq_arr >= (np.int64(1) << block_freq_bits)
+    block_freq_bits[under] += 1
+
+    # --- word layout -------------------------------------------------------
+    cnt64 = block_count.astype(np.int64)
+    dwords = (cnt64 * block_doc_bits + 31) >> 5
+    fwords = (cnt64 * block_freq_bits + 31) >> 5
+    block_words = dwords + fwords
+    block_word_off = np.zeros(NB, dtype=np.int64)
+    np.cumsum(block_words[:-1], out=block_word_off[1:])
+    total_words = int(block_words.sum())
+
+    max_window = int(
+        (
+            (BLOCK_SIZE * block_doc_bits + 31) // 32
+            + (BLOCK_SIZE * block_freq_bits + 31) // 32
+        ).max()
+    )
+
+    # --- vectorized bit packing (same math as pack_u32, all blocks) --------
+    words = np.zeros(total_words + max_window + 2, dtype=np.uint64)
+
+    nwords_alloc = len(words)
+
+    def scatter_pack(values, bits_per_block, base_word):
+        vals = values.astype(np.uint64)
+        bits_e = bits_per_block[ent_block].astype(np.uint64)
+        bitpos = ent_lane.astype(np.uint64) * bits_e
+        widx = (base_word[ent_block] + (bitpos >> np.uint64(5))).astype(np.int64)
+        shift = bitpos & np.uint64(31)
+        lo = (vals << shift) & np.uint64(0xFFFFFFFF)
+        hi = np.where(shift == 0, np.uint64(0),
+                      vals >> (np.uint64(32) - shift))
+        # bincount instead of np.add.at (~20x faster); word sums < 2^32 are
+        # exact in the float64 accumulation.
+        idx = np.concatenate([widx, widx + 1])
+        w = np.concatenate([lo, hi]).astype(np.float64)
+        sums = np.bincount(idx, weights=w, minlength=nwords_alloc)
+        words[:] += sums.astype(np.uint64)
+
+    scatter_pack(deltas, block_doc_bits, block_word_off)
+    scatter_pack(freqs, block_freq_bits, block_word_off + dwords)
+    packed = words[: total_words + max_window + 1].astype(np.uint32)
+
+    doc_freq = df.astype(np.int32)
+    total_tf = np.zeros(T, dtype=np.int64)
+    np.add.at(total_tf, ent_term, freqs)
+
+    pp = PackedPostings(
+        terms=list(terms),
+        block_start=block_start,
+        doc_freq=doc_freq,
+        total_tf=total_tf,
+        block_term=block_term,
+        block_base=block_base,
+        block_count=block_count,
+        block_doc_bits=block_doc_bits.astype(np.int32),
+        block_freq_bits=block_freq_bits.astype(np.int32),
+        block_word_off=block_word_off.astype(np.int32),
+        block_max_freq=block_max_freq_arr,
+        block_max_norm=block_max_norm,
+        block_entry_start=block_entry_start,
+        packed=packed,
+        sum_total_tf=int(freqs.sum()),
+        sum_doc_freq=int(NE),
+        max_window_words=max_window,
+    )
+    if pos_start is not None:
+        pp.pos_start = np.asarray(pos_start, dtype=np.int64)
+        pp.positions = (
+            np.asarray(positions, dtype=np.int32)
+            if positions is not None and len(positions)
+            else np.zeros(0, dtype=np.int32)
+        )
+    return pp
+
+
 def decode_block_numpy(pp: PackedPostings, b: int) -> Tuple[np.ndarray, np.ndarray]:
     """Oracle decoder for one block -> (docids, freqs). Tests only."""
     from diagon_tpu.codecs.bitpack import unpack_u32_numpy

@@ -22,8 +22,14 @@ import numpy as np
 from diagon_tpu.document.document import (
     DocValuesType,
     Document,
+    Field,
     IndexOptions,
 )
+
+try:
+    from diagon_tpu.native import _native as _native_mod
+except Exception:  # pragma: no cover
+    _native_mod = None
 
 
 def encode_norm(length: int) -> int:
@@ -54,6 +60,10 @@ class _FieldBuffer:
     )
     field_lengths: Dict[int, int] = dc_field(default_factory=dict)
     doc_count_with_field: int = 0
+    # native (C++) accumulator for the plain-ASCII TextField hot path;
+    # non-ASCII / custom-tokenizer adds fall back to the Python dicts and
+    # the two are merged at flush.
+    native: object = None
 
 
 @dataclass
@@ -113,6 +123,22 @@ class MemoryIndex:
             )
             self.fields[f.name] = fb
 
+        # Native fast path: default standard tokenization of an ASCII str.
+        if (
+            _native_mod is not None
+            and f.type.tokenized
+            and type(f).tokenize is Field.tokenize
+            and isinstance(f.value, str)
+            and f.value.isascii()
+        ):
+            if fb.native is None:
+                fb.native = _native_mod.FreqProx()
+            n = fb.native.add_document(doc_id, f.value, fb.with_positions)
+            if n > 0:
+                fb.doc_count_with_field += 1
+            self._ram_bytes += 12 * n
+            return
+
         tokens = f.tokenize()
         if not tokens:
             return
@@ -167,12 +193,49 @@ class MemoryIndex:
     def compute_norms(self, field: str) -> np.ndarray:
         """uint8 norms for every doc in the buffer (0 for docs w/o field)."""
         fb = self.fields[field]
-        norms = np.zeros(self.num_docs, dtype=np.uint8)
+        lengths = np.zeros(self.num_docs, dtype=np.int64)
         for doc_id, length in fb.field_lengths.items():
-            norms[doc_id] = encode_norm(length)
+            lengths[doc_id] += length
+        nat = self._native_arrays(fb)
+        if nat is not None:
+            np.add.at(lengths, nat["field_docs"], nat["field_lens"])
+        # Vectorized reference encoding: min(127, trunc(127/sqrt(len))).
+        norms = np.zeros(self.num_docs, dtype=np.uint8)
+        nz = lengths > 0
+        enc = np.minimum(
+            127.0, 127.0 / np.sqrt(lengths[nz].astype(np.float64))
+        ).astype(np.uint8)
+        norms[nz] = enc
         # Docs without the field keep norm 0, which decodes to length 1.0 —
         # same as the reference (missing docs never match anyway).
         return norms
+
+    @staticmethod
+    def _native_arrays(fb) -> Optional[dict]:
+        """Drain + memoize the native accumulator's CSR arrays."""
+        if fb.native is None:
+            return None
+        cached = getattr(fb, "_native_cache", None)
+        if cached is not None:
+            return cached
+        (blob, toffs, estart, docs, freqs, pstart, pos,
+         fdocs, flens) = fb.native.finish(fb.with_positions)
+        toffs = np.frombuffer(toffs, np.int64)
+        out = {
+            "terms": [
+                blob[toffs[i]:toffs[i + 1]].decode()
+                for i in range(len(toffs) - 1)
+            ],
+            "entry_start": np.frombuffer(estart, np.int64),
+            "docs": np.frombuffer(docs, np.int32),
+            "freqs": np.frombuffer(freqs, np.int32),
+            "pos_start": np.frombuffer(pstart, np.int64),
+            "positions": np.frombuffer(pos, np.int32),
+            "field_docs": np.frombuffer(fdocs, np.int32),
+            "field_lens": np.frombuffer(flens, np.int32),
+        }
+        fb._native_cache = out
+        return out
 
     def field_term_arrays(
         self, field: str
@@ -193,4 +256,57 @@ class MemoryIndex:
             )
             if positions is not None:
                 positions[term] = [np.asarray(p, dtype=np.int32) for p in poslists]
+
+        nat = self._native_arrays(fb)
+        if nat is not None:
+            es = nat["entry_start"]
+            for tid, term in enumerate(nat["terms"]):
+                s, e = int(es[tid]), int(es[tid + 1])
+                ndocs = nat["docs"][s:e].astype(np.int64)
+                nfreqs = nat["freqs"][s:e].astype(np.int64)
+                nplists = None
+                if positions is not None:
+                    ps = nat["pos_start"]
+                    nplists = [
+                        nat["positions"][int(ps[j]) : int(ps[j + 1])]
+                        for j in range(s, e)
+                    ]
+                if term in postings:
+                    # merge with Python-path postings, re-sorted by docid;
+                    # a doc hit by both paths (mixed ASCII/unicode field
+                    # instances) combines freqs and positions.
+                    pdocs, pfreqs = postings[term]
+                    docs = np.concatenate([pdocs, ndocs])
+                    freqs = np.concatenate([pfreqs, nfreqs])
+                    order = np.argsort(docs, kind="stable")
+                    docs, freqs = docs[order], freqs[order]
+                    plists = None
+                    if positions is not None:
+                        plists = positions[term] + nplists
+                        plists = [plists[i] for i in order]
+                    if len(docs) > 1 and (np.diff(docs) == 0).any():
+                        u_docs, u_freqs, u_plists = [], [], []
+                        for i in range(len(docs)):
+                            if u_docs and u_docs[-1] == docs[i]:
+                                u_freqs[-1] += freqs[i]
+                                if plists is not None:
+                                    u_plists[-1] = np.concatenate(
+                                        [u_plists[-1], plists[i]]
+                                    )
+                            else:
+                                u_docs.append(docs[i])
+                                u_freqs.append(freqs[i])
+                                if plists is not None:
+                                    u_plists.append(np.asarray(plists[i]))
+                        docs = np.asarray(u_docs, dtype=np.int64)
+                        freqs = np.asarray(u_freqs, dtype=np.int64)
+                        if plists is not None:
+                            plists = u_plists
+                    postings[term] = (docs, freqs)
+                    if positions is not None:
+                        positions[term] = plists
+                else:
+                    postings[term] = (ndocs, nfreqs)
+                    if positions is not None:
+                        positions[term] = nplists
         return postings, positions

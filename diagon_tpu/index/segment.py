@@ -99,8 +99,23 @@ def flush_memory_index(mem: MemoryIndex, name: str) -> Optional[SegmentData]:
 
     for fname, fb in mem.fields.items():
         norms = mem.compute_norms(fname)
-        postings_arrays, positions = mem.field_term_arrays(fname)
-        pp = build_packed_postings(postings_arrays, positions, norms)
+        nat = mem._native_arrays(fb)
+        if nat is not None and not fb.postings:
+            # pure native-buffer field: vectorized CSR packer (hot path)
+            from diagon_tpu.codecs.postings import build_packed_postings_csr
+
+            pp = build_packed_postings_csr(
+                nat["terms"],
+                nat["entry_start"],
+                nat["docs"],
+                nat["freqs"],
+                nat["pos_start"] if fb.with_positions else None,
+                nat["positions"] if fb.with_positions else None,
+                norms,
+            )
+        else:
+            postings_arrays, positions = mem.field_term_arrays(fname)
+            pp = build_packed_postings(postings_arrays, positions, norms)
         pp.doc_count_with_field = fb.doc_count_with_field
         seg.fields[fname] = SegmentFieldData(
             postings=pp, norms=norms, with_positions=fb.with_positions

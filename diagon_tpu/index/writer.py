@@ -148,17 +148,12 @@ class IndexWriter:
             deleted = 0
             for seg in self._segments:
                 deleted += self._apply_delete(seg, field, text)
-            # buffer replay for in-RAM docs: flush then delete on the result
+            # buffer replay for in-RAM docs: flush, then delete on the
+            # resulting segment (covers both the Python and native buffers)
             if self._mem.num_docs > 0:
-                fb = self._mem.fields.get(field)
-                if fb and text in fb.postings:
-                    docs = fb.postings[text][0]
-                    seg = self._flush_buffer()
-                    if seg is not None:
-                        for d in docs:
-                            if seg.delete_document(int(d)):
-                                deleted += 1
-                        self._dirty_live_docs.add(seg.name)
+                seg = self._flush_buffer()
+                if seg is not None:
+                    deleted += self._apply_delete(seg, field, text)
             self._seq_no += 1
             return deleted
 

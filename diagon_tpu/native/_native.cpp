@@ -1,0 +1,314 @@
+// diagon_tpu native host tier: tokenizer + in-memory postings accumulator.
+//
+// The ingestion hot path of the framework, mirroring the role of the
+// reference's C++ FreqProxTermsWriter + StandardTokenizer ASCII fast path
+// (reference: src/core/include/diagon/util/StandardTokenizer.h:113-152,
+// FreqProxTermsWriter.h:24-120) — re-implemented from scratch for this
+// framework's CSR output layout (the packed-postings builder consumes
+// whole arrays, not per-term linked blocks).
+//
+// Exposed via the CPython C API (no pybind11 in this environment):
+//   _native.standard_tokenize_ascii(text: str) -> list[str]
+//   _native.FreqProx()             — per-field postings accumulator
+//     .add_document(doc_id, text, with_positions) -> token_count
+//     .finish() -> tuple of bytes blobs (see finish() below)
+//
+// Build: diagon_tpu/native/__init__.py invokes g++ -O3 -shared -fPIC.
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+inline bool is_alnum(unsigned char c) {
+    return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+           (c >= '0' && c <= '9');
+}
+inline bool is_token_char(unsigned char c) {
+    return is_alnum(c) || c == '\'';
+}
+inline char lower(unsigned char c) {
+    return (c >= 'A' && c <= 'Z') ? static_cast<char>(c + 32)
+                                  : static_cast<char>(c);
+}
+
+// Tokenize ASCII text: token starts at alnum, continues over alnum+'\'',
+// lowercased. Calls `fn(start, len)` per token with a scratch buffer
+// holding the lowercased token.
+template <typename Fn>
+void tokenize_ascii(const char* data, Py_ssize_t len, std::string& scratch,
+                    Fn&& fn) {
+    Py_ssize_t i = 0;
+    while (i < len) {
+        unsigned char c = static_cast<unsigned char>(data[i]);
+        if (!is_alnum(c)) {
+            i++;
+            continue;
+        }
+        Py_ssize_t start = i;
+        i++;
+        while (i < len && is_token_char(static_cast<unsigned char>(data[i])))
+            i++;
+        scratch.clear();
+        scratch.reserve(i - start);
+        for (Py_ssize_t j = start; j < i; j++)
+            scratch.push_back(lower(static_cast<unsigned char>(data[j])));
+        fn(scratch);
+    }
+}
+
+// ---------------------------------------------------------------------
+// standard_tokenize_ascii
+// ---------------------------------------------------------------------
+
+PyObject* standard_tokenize_ascii(PyObject*, PyObject* arg) {
+    Py_ssize_t len = 0;
+    const char* data = PyUnicode_AsUTF8AndSize(arg, &len);
+    if (data == nullptr) return nullptr;
+
+    PyObject* list = PyList_New(0);
+    if (!list) return nullptr;
+    std::string tok;
+    bool failed = false;
+    tokenize_ascii(data, len, tok, [&](const std::string& t) {
+        if (failed) return;
+        PyObject* s = PyUnicode_FromStringAndSize(t.data(), t.size());
+        if (!s || PyList_Append(list, s) < 0) failed = true;
+        Py_XDECREF(s);
+    });
+    if (failed) {
+        Py_DECREF(list);
+        return nullptr;
+    }
+    return list;
+}
+
+// ---------------------------------------------------------------------
+// FreqProx: per-field postings accumulator
+// ---------------------------------------------------------------------
+
+struct TermPostings {
+    std::vector<int32_t> docs;
+    std::vector<int32_t> freqs;
+    std::vector<int64_t> pos_start;   // per-entry start into positions
+    std::vector<int32_t> positions;
+};
+
+struct FreqProxObject {
+    PyObject_HEAD
+    std::unordered_map<std::string, TermPostings>* terms;
+    std::vector<std::pair<int32_t, int32_t>>* field_lengths;  // (doc, len)
+    int64_t sum_total_tf;
+    int64_t ram_bytes;
+};
+
+PyObject* FreqProx_new(PyTypeObject* type, PyObject*, PyObject*) {
+    FreqProxObject* self =
+        reinterpret_cast<FreqProxObject*>(type->tp_alloc(type, 0));
+    if (!self) return nullptr;
+    self->terms = new std::unordered_map<std::string, TermPostings>();
+    self->field_lengths = new std::vector<std::pair<int32_t, int32_t>>();
+    self->sum_total_tf = 0;
+    self->ram_bytes = 0;
+    return reinterpret_cast<PyObject*>(self);
+}
+
+void FreqProx_dealloc(FreqProxObject* self) {
+    delete self->terms;
+    delete self->field_lengths;
+    Py_TYPE(self)->tp_free(reinterpret_cast<PyObject*>(self));
+}
+
+// add_document(doc_id: int, text: str, with_positions: bool) -> int
+PyObject* FreqProx_add_document(FreqProxObject* self, PyObject* args) {
+    int doc_id;
+    PyObject* text_obj;
+    int with_positions;
+    if (!PyArg_ParseTuple(args, "iUp", &doc_id, &text_obj, &with_positions))
+        return nullptr;
+    Py_ssize_t len = 0;
+    const char* data = PyUnicode_AsUTF8AndSize(text_obj, &len);
+    if (!data) return nullptr;
+
+    std::string tok;
+    int32_t pos = 0;
+    auto& terms = *self->terms;
+    tokenize_ascii(data, len, tok, [&](const std::string& t) {
+        auto it = terms.find(t);
+        if (it == terms.end()) {
+            it = terms.emplace(t, TermPostings{}).first;
+            self->ram_bytes += 64 + static_cast<int64_t>(t.size());
+        }
+        TermPostings& tp = it->second;
+        if (!tp.docs.empty() && tp.docs.back() == doc_id) {
+            tp.freqs.back() += 1;
+        } else {
+            tp.docs.push_back(doc_id);
+            tp.freqs.push_back(1);
+            if (with_positions)
+                tp.pos_start.push_back(
+                    static_cast<int64_t>(tp.positions.size()));
+        }
+        if (with_positions) tp.positions.push_back(pos);
+        self->ram_bytes += 12;
+        pos++;
+    });
+    self->sum_total_tf += pos;
+    if (pos > 0) self->field_lengths->emplace_back(doc_id, pos);
+    return PyLong_FromLong(pos);
+}
+
+// finish(with_positions) ->
+//   (term_blob: bytes           — concatenated utf-8 terms, sorted
+//    term_offsets: bytes int64[T+1]
+//    entry_start: bytes int64[T+1]  — CSR into docs/freqs
+//    docs:   bytes int32[NE]
+//    freqs:  bytes int32[NE]
+//    pos_start: bytes int64[NE+1]   — CSR into positions (empty if !pos)
+//    positions: bytes int32[NP]
+//    field_docs: bytes int32[ND]    — docs with this field
+//    field_lens: bytes int32[ND])
+PyObject* FreqProx_finish(FreqProxObject* self, PyObject* args) {
+    int with_positions;
+    if (!PyArg_ParseTuple(args, "p", &with_positions)) return nullptr;
+
+    auto& terms = *self->terms;
+    std::vector<const std::string*> keys;
+    keys.reserve(terms.size());
+    for (auto& kv : terms) keys.push_back(&kv.first);
+    std::sort(keys.begin(), keys.end(),
+              [](const std::string* a, const std::string* b) { return *a < *b; });
+
+    size_t T = keys.size();
+    std::string term_blob;
+    std::vector<int64_t> term_offsets(T + 1, 0);
+    std::vector<int64_t> entry_start(T + 1, 0);
+    size_t total_entries = 0, total_positions = 0, blob_len = 0;
+    for (size_t t = 0; t < T; t++) {
+        blob_len += keys[t]->size();
+        const TermPostings& tp = terms.at(*keys[t]);
+        total_entries += tp.docs.size();
+        total_positions += tp.positions.size();
+    }
+    term_blob.reserve(blob_len);
+
+    std::vector<int32_t> docs(total_entries), freqs(total_entries);
+    std::vector<int64_t> pos_start;
+    std::vector<int32_t> positions;
+    if (with_positions) {
+        pos_start.resize(total_entries + 1);
+        positions.resize(total_positions);
+    }
+
+    size_t e = 0, p = 0;
+    for (size_t t = 0; t < T; t++) {
+        const std::string& key = *keys[t];
+        term_offsets[t] = static_cast<int64_t>(term_blob.size());
+        term_blob += key;
+        entry_start[t] = static_cast<int64_t>(e);
+        const TermPostings& tp = terms.at(key);
+        std::memcpy(docs.data() + e, tp.docs.data(),
+                    tp.docs.size() * sizeof(int32_t));
+        std::memcpy(freqs.data() + e, tp.freqs.data(),
+                    tp.freqs.size() * sizeof(int32_t));
+        if (with_positions) {
+            for (size_t j = 0; j < tp.docs.size(); j++)
+                pos_start[e + j] = static_cast<int64_t>(p) + tp.pos_start[j];
+            std::memcpy(positions.data() + p, tp.positions.data(),
+                        tp.positions.size() * sizeof(int32_t));
+            p += tp.positions.size();
+        }
+        e += tp.docs.size();
+    }
+    term_offsets[T] = static_cast<int64_t>(term_blob.size());
+    entry_start[T] = static_cast<int64_t>(e);
+    if (with_positions) pos_start[total_entries] = static_cast<int64_t>(p);
+
+    std::vector<int32_t> fdocs(self->field_lengths->size());
+    std::vector<int32_t> flens(self->field_lengths->size());
+    for (size_t i = 0; i < self->field_lengths->size(); i++) {
+        fdocs[i] = (*self->field_lengths)[i].first;
+        flens[i] = (*self->field_lengths)[i].second;
+    }
+
+    auto mk = [](const void* data, size_t nbytes) {
+        return PyBytes_FromStringAndSize(
+            static_cast<const char*>(data), static_cast<Py_ssize_t>(nbytes));
+    };
+    PyObject* out = Py_BuildValue(
+        "(NNNNNNNNN)",
+        mk(term_blob.data(), term_blob.size()),
+        mk(term_offsets.data(), term_offsets.size() * 8),
+        mk(entry_start.data(), entry_start.size() * 8),
+        mk(docs.data(), docs.size() * 4),
+        mk(freqs.data(), freqs.size() * 4),
+        mk(pos_start.data(), pos_start.size() * 8),
+        mk(positions.data(), positions.size() * 4),
+        mk(fdocs.data(), fdocs.size() * 4),
+        mk(flens.data(), flens.size() * 4));
+    return out;
+}
+
+PyObject* FreqProx_ram_bytes(FreqProxObject* self, PyObject*) {
+    return PyLong_FromLongLong(self->ram_bytes);
+}
+
+PyObject* FreqProx_num_terms(FreqProxObject* self, PyObject*) {
+    return PyLong_FromSize_t(self->terms->size());
+}
+
+PyMethodDef FreqProx_methods[] = {
+    {"add_document", reinterpret_cast<PyCFunction>(FreqProx_add_document),
+     METH_VARARGS, "tokenize + accumulate one document's field text"},
+    {"finish", reinterpret_cast<PyCFunction>(FreqProx_finish), METH_VARARGS,
+     "emit sorted CSR arrays as bytes"},
+    {"ram_bytes", reinterpret_cast<PyCFunction>(FreqProx_ram_bytes),
+     METH_NOARGS, "approximate RAM usage"},
+    {"num_terms", reinterpret_cast<PyCFunction>(FreqProx_num_terms),
+     METH_NOARGS, "distinct term count"},
+    {nullptr, nullptr, 0, nullptr}};
+
+PyTypeObject FreqProxType = {
+    PyVarObject_HEAD_INIT(nullptr, 0)
+    "diagon_tpu.native._native.FreqProx",   /* tp_name */
+    sizeof(FreqProxObject),                 /* tp_basicsize */
+};
+
+PyMethodDef module_methods[] = {
+    {"standard_tokenize_ascii", standard_tokenize_ascii, METH_O,
+     "ASCII StandardTokenizer (alnum runs + apostrophes, lowercased)"},
+    {nullptr, nullptr, 0, nullptr}};
+
+PyModuleDef native_module = {
+    PyModuleDef_HEAD_INIT, "_native",
+    "diagon_tpu native host tier (tokenizer + postings accumulator)", -1,
+    module_methods};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__native(void) {
+    FreqProxType.tp_dealloc =
+        reinterpret_cast<destructor>(FreqProx_dealloc);
+    FreqProxType.tp_flags = Py_TPFLAGS_DEFAULT;
+    FreqProxType.tp_methods = FreqProx_methods;
+    FreqProxType.tp_new = FreqProx_new;
+    if (PyType_Ready(&FreqProxType) < 0) return nullptr;
+
+    PyObject* m = PyModule_Create(&native_module);
+    if (!m) return nullptr;
+    Py_INCREF(&FreqProxType);
+    if (PyModule_AddObject(m, "FreqProx",
+                           reinterpret_cast<PyObject*>(&FreqProxType)) < 0) {
+        Py_DECREF(&FreqProxType);
+        Py_DECREF(m);
+        return nullptr;
+    }
+    return m;
+}
