@@ -228,25 +228,31 @@ class IndexSearcher:
 
     # -- public API ----------------------------------------------------------
     def search(self, query: Query, k: int = 10) -> TopDocs:
+        from diagon_tpu.observability.profiler import ProfileScope
+
         tc = self._term_clauses(query)
         if tc is not None:
             field, clauses, min_should = tc
             ctx = self._ctx(field)
-            plans = self._segment_plans(field, clauses, min_should)
+            with ProfileScope("plan"):
+                plans = self._segment_plans(field, clauses, min_should)
             parts: List[TopDocs] = []
-            for si, plan in enumerate(plans):
-                if plan is None:
-                    continue
-                ex = ctx.executors[si]
-                kk = min(k, self.device_segments[si].num_docs_pad)
-                scores, docs, hits = ex.top_k(plan, kk)
-                parts.append(
-                    self._to_topdocs(si, scores, docs, hits)
-                )
-            return merge_top_docs(parts, k)
+            with ProfileScope("execute"):
+                for si, plan in enumerate(plans):
+                    if plan is None:
+                        continue
+                    ex = ctx.executors[si]
+                    kk = min(k, self.device_segments[si].num_docs_pad)
+                    scores, docs, hits = ex.top_k(plan, kk)
+                    parts.append(
+                        self._to_topdocs(si, scores, docs, hits)
+                    )
+            with ProfileScope("merge"):
+                return merge_top_docs(parts, k)
 
         if isinstance(query, PhraseQuery):
-            return self._search_phrase(query, k)
+            with ProfileScope("phrase"):
+                return self._search_phrase(query, k)
 
         return self._fallback_search(query, k)
 
