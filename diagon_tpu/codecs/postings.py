@@ -388,6 +388,61 @@ def build_packed_postings_csr(
     return pp
 
 
+def decode_all_numpy(pp: PackedPostings) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized full decode -> (docs int32 [NE], freqs int32 [NE]) in
+    segment posting order (term-major, docid ascending).
+
+    Used at device-load time to materialize the flat posting arrays the
+    tile-grid scoring engine gathers from (the bit-packed form stays the
+    storage format).
+    """
+    NB = pp.num_blocks
+    if NB == 0:
+        return np.zeros(0, np.int32), np.zeros(0, np.int32)
+    words = np.concatenate(
+        [pp.packed.astype(np.uint64), np.zeros(1, np.uint64)]
+    )
+    counts = pp.block_count.astype(np.int64)
+    NE = int(pp.block_entry_start[NB])
+
+    ent_block = np.repeat(np.arange(NB, dtype=np.int64), counts)
+    ent_lane = (
+        np.arange(NE, dtype=np.int64) - pp.block_entry_start[ent_block]
+    )
+
+    def unpack(bits_per_block, base_word):
+        bits_e = bits_per_block[ent_block].astype(np.uint64)
+        bitpos = ent_lane.astype(np.uint64) * bits_e
+        widx = (base_word[ent_block].astype(np.uint64) + (bitpos >> np.uint64(5))).astype(np.int64)
+        shift = bitpos & np.uint64(31)
+        lo = words[widx] >> shift
+        hi = np.where(
+            shift == 0, np.uint64(0), words[widx + 1] << (np.uint64(32) - shift)
+        )
+        mask = (np.uint64(1) << bits_e) - np.uint64(1)
+        return ((lo | hi) & mask).astype(np.int64)
+
+    dbits = pp.block_doc_bits.astype(np.int64)
+    deltas = unpack(dbits, pp.block_word_off.astype(np.int64))
+    # per-block inclusive prefix sum of deltas: global cumsum minus the
+    # cumsum value at each block start
+    cs = np.cumsum(deltas)
+    first_idx = pp.block_entry_start[:NB]
+    cs_at_start = cs[first_idx]
+    docs = (
+        pp.block_base[ent_block].astype(np.int64)
+        + cs
+        - cs_at_start[ent_block]
+    )
+
+    dwords = (counts * dbits + 31) >> 5
+    freqs = unpack(
+        pp.block_freq_bits.astype(np.int64),
+        pp.block_word_off.astype(np.int64) + dwords,
+    )
+    return docs.astype(np.int32), freqs.astype(np.int32)
+
+
 def decode_block_numpy(pp: PackedPostings, b: int) -> Tuple[np.ndarray, np.ndarray]:
     """Oracle decoder for one block -> (docids, freqs). Tests only."""
     from diagon_tpu.codecs.bitpack import unpack_u32_numpy

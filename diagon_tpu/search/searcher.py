@@ -55,6 +55,8 @@ class _FieldContext:
     """Collection-level scoring state for one field."""
 
     def __init__(self, searcher: "IndexSearcher", field: str):
+        from diagon_tpu.search.engine2 import TileExecutor, build_tile_arrays
+
         self.field = field
         self.avgdl = collection_stats(
             searcher.device_segments, field, searcher.max_doc
@@ -64,13 +66,31 @@ class _FieldContext:
             f = ds.fields.get(field)
             if f is not None:
                 max_freq = max(max_freq, f.max_freq)
-        self.tf_lut = jnp.asarray(make_tf_table(self.avgdl, max_freq))
+        self.tf_lut_host = make_tf_table(self.avgdl, max_freq)
+        self.tf_lut = jnp.asarray(self.tf_lut_host)
         self.executors = [
             SegmentExecutor(ds, field, self.tf_lut)
             if field in ds.fields
             else None
             for ds in searcher.device_segments
         ]
+        # Tile-grid executors (the scatter-free fast path); need the host
+        # segment copy to build the tile view.
+        self.tile_executors = []
+        for ds in searcher.device_segments:
+            if field in ds.fields and ds.source is not None:
+                fd = ds.source.fields[field]
+                arrays = build_tile_arrays(
+                    fd.postings,
+                    fd.norms,
+                    ds.num_docs_pad,
+                    ds.source.live_docs,
+                )
+                self.tile_executors.append(
+                    TileExecutor(arrays, self.tf_lut_host)
+                )
+            else:
+                self.tile_executors.append(None)
 
 
 class IndexSearcher:
@@ -161,6 +181,71 @@ class IndexSearcher:
             return None  # pure MUST_NOT: matches nothing; handled by caller
         return field, clauses, min_should
 
+    def _clause_term_plans(
+        self, field: str, clauses: List[Tuple[TermQuery, Occur]]
+    ) -> List[List[TermPlan]]:
+        """Per-segment TermPlan lists in oracle accumulation order
+        (MUST sorted, FILTER sorted, SHOULD sorted, MUST_NOT sorted)."""
+
+        def _key(item):
+            return item[0].term.text
+
+        must = sorted([c for c in clauses if c[1] == Occur.MUST], key=_key)
+        should = sorted([c for c in clauses if c[1] == Occur.SHOULD], key=_key)
+        filt = sorted([c for c in clauses if c[1] == Occur.FILTER], key=_key)
+        must_not = sorted(
+            [c for c in clauses if c[1] == Occur.MUST_NOT], key=_key
+        )
+        weights = {
+            id(q): float(self._idf(field, q.term.text, q.boost))
+            for q, _ in must + should
+        }
+        out = []
+        for ds in self.device_segments:
+            f = ds.fields.get(field)
+            if f is None:
+                out.append(None)
+                continue
+            tps: List[TermPlan] = []
+            for q, _ in must:
+                tps.append(
+                    TermPlan(f.term_id(q.term.text), weights[id(q)], required=True)
+                )
+            for q, _ in filt:
+                tps.append(TermPlan(f.term_id(q.term.text), 0.0, required=True))
+            for q, _ in should:
+                tps.append(
+                    TermPlan(f.term_id(q.term.text), weights[id(q)], should=True)
+                )
+            for q, _ in must_not:
+                tps.append(TermPlan(f.term_id(q.term.text), 0.0, negated=True))
+            out.append(tps)
+        return out
+
+    def _tile_plans(
+        self,
+        field: str,
+        clauses: List[Tuple[TermQuery, Occur]],
+        min_should: int,
+    ):
+        from diagon_tpu.search.engine2 import build_tile_plan
+
+        cache_key = (
+            "tile",
+            field,
+            tuple(sorted((o.value, q.term.text, q.boost) for q, o in clauses)),
+            min_should,
+        )
+        cached = self._plan_cache.get(cache_key)
+        if cached is not None:
+            return cached
+        plans = [
+            build_tile_plan(tps, min_should) if tps is not None else None
+            for tps in self._clause_term_plans(field, clauses)
+        ]
+        self._plan_cache[cache_key] = plans
+        return plans
+
     def _segment_plans(
         self,
         field: str,
@@ -234,14 +319,23 @@ class IndexSearcher:
         if tc is not None:
             field, clauses, min_should = tc
             ctx = self._ctx(field)
+            use_tile = all(
+                te is not None or ctx.executors[si] is None
+                for si, te in enumerate(ctx.tile_executors)
+            )
             with ProfileScope("plan"):
-                plans = self._segment_plans(field, clauses, min_should)
+                if use_tile:
+                    plans = self._tile_plans(field, clauses, min_should)
+                else:
+                    plans = self._segment_plans(field, clauses, min_should)
             parts: List[TopDocs] = []
             with ProfileScope("execute"):
                 for si, plan in enumerate(plans):
                     if plan is None:
                         continue
-                    ex = ctx.executors[si]
+                    ex = (
+                        ctx.tile_executors[si] if use_tile else ctx.executors[si]
+                    )
                     kk = min(k, self.device_segments[si].num_docs_pad)
                     scores, docs, hits = ex.top_k(plan, kk)
                     parts.append(
@@ -274,10 +368,19 @@ class IndexSearcher:
             raise ValueError("search_batch requires a single field per batch")
         field = fields.pop()
         ctx = self._ctx(field)
+        use_tile = all(
+            te is not None or ctx.executors[si] is None
+            for si, te in enumerate(ctx.tile_executors)
+        )
 
-        per_seg_plans: List[List[SegmentPlan]] = []
+        per_seg_plans = []
         for f, clauses, min_should in flat:
-            per_seg_plans.append(self._segment_plans(field, clauses, min_should))
+            if use_tile:
+                per_seg_plans.append(self._tile_plans(field, clauses, min_should))
+            else:
+                per_seg_plans.append(
+                    self._segment_plans(field, clauses, min_should)
+                )
 
         results: List[List[TopDocs]] = [[] for _ in queries]
         for si, ds in enumerate(self.device_segments):
@@ -286,7 +389,7 @@ class IndexSearcher:
             plans = [pp[si] for pp in per_seg_plans]
             if any(p is None for p in plans):
                 continue
-            ex = ctx.executors[si]
+            ex = ctx.tile_executors[si] if use_tile else ctx.executors[si]
             kk = min(k, ds.num_docs_pad)
             scores, docs, hits = ex.top_k_batch(plans, kk)
             scores = np.asarray(scores)
@@ -298,17 +401,78 @@ class IndexSearcher:
                 )
         return [merge_top_docs(parts, k) for parts in results]
 
+    def dispatch_batch(self, queries: Sequence[Query], k: int = 10):
+        """Async variant of search_batch: returns an opaque handle without
+        waiting for results. Use with ``collect_batch`` to pipeline many
+        batches through the device (the serving pattern: readback latency
+        amortizes across in-flight batches)."""
+        from diagon_tpu.search.engine2 import tile_score_topk
+
+        flat = []
+        for q in queries:
+            tc = self._term_clauses(q)
+            if tc is None:
+                raise ValueError(f"dispatch_batch: unsupported query {q!r}")
+            flat.append(tc)
+        field = flat[0][0]
+        ctx = self._ctx(field)
+        handles = []
+        for si, ds in enumerate(self.device_segments):
+            te = ctx.tile_executors[si]
+            if te is None:
+                continue
+            plans = [
+                self._tile_plans(field, clauses, ms)[si]
+                for _, clauses, ms in flat
+            ]
+            kk = min(k, ds.num_docs_pad)
+            if getattr(te, "_dispatch_cache", None) is None:
+                te._dispatch_cache = {}
+            ck = tuple(id(p) for p in plans)
+            entry = te._dispatch_cache.get(ck)
+            if entry is None:
+                entry = (plans, te._stack(plans))
+                if len(te._dispatch_cache) < 64:
+                    te._dispatch_cache[ck] = entry
+            fused = tile_score_topk(
+                *te._index_args(), *entry[1], k=kk
+            )
+            handles.append((si, kk, fused))
+        return (len(queries), k, handles)
+
+    def collect_batch(self, handle) -> List[TopDocs]:
+        """Resolve a dispatch_batch handle into per-query TopDocs."""
+        from diagon_tpu.search.engine import unfuse_topk
+
+        nq, k, parts_h = handle
+        results: List[List[TopDocs]] = [[] for _ in range(nq)]
+        for si, kk, fused in parts_h:
+            scores, docs, hits = unfuse_topk(fused, kk)
+            for qi in range(nq):
+                results[qi].append(
+                    self._to_topdocs(si, scores[qi], docs[qi], hits[qi])
+                )
+        return [merge_top_docs(parts, k) for parts in results]
+
     def count(self, query: Query) -> int:
         tc = self._term_clauses(query)
         if tc is not None:
             field, clauses, min_should = tc
             ctx = self._ctx(field)
-            plans = self._segment_plans(field, clauses, min_should)
+            use_tile = all(
+                te is not None or ctx.executors[si] is None
+                for si, te in enumerate(ctx.tile_executors)
+            )
+            if use_tile:
+                plans = self._tile_plans(field, clauses, min_should)
+            else:
+                plans = self._segment_plans(field, clauses, min_should)
             total = 0
             for si, plan in enumerate(plans):
                 if plan is None:
                     continue
-                total += ctx.executors[si].count(plan)
+                ex = ctx.tile_executors[si] if use_tile else ctx.executors[si]
+                total += ex.count(plan)
             return total
         return self._fallback_count(query)
 

@@ -194,8 +194,18 @@ def write_segment(directory, seg: SegmentData) -> List[str]:
         w.add(p + "packed", pp.packed)
         w.add(p + "norms", fd.norms)
         if pp.pos_start is not None:
-            w.add(p + "pos_start", pp.pos_start)
-            w.add(p + "positions", pp.positions)
+            # Disk form is compact: positions bit-packed at the field's max
+            # width; pos_start is NOT stored — it is exactly
+            # cumsum(freqs) (one position per occurrence), reconstructed at
+            # read time from the postings (reference stores explicit .pos
+            # skip structures; deriving beats storing).
+            from diagon_tpu.codecs.bitpack import bits_needed, pack_u32
+
+            pos = pp.positions
+            pos_bits = bits_needed(int(pos.max()) if len(pos) else 0)
+            meta["fields"][fname]["pos_bits"] = pos_bits
+            meta["fields"][fname]["pos_count"] = int(len(pos))
+            w.add(p + "positions_packed", pack_u32(pos, pos_bits))
 
     for fname, dv in seg.doc_values.items():
         p = f"dv.{fname}."
@@ -267,9 +277,19 @@ def read_segment(directory, name: str, verify_checksums: bool = False) -> Segmen
             doc_count_with_field=fmeta["doc_count_with_field"],
             max_window_words=fmeta["max_window_words"],
         )
-        if r.has(p + "pos_start"):
-            pp.pos_start = r.array(p + "pos_start")
-            pp.positions = r.array(p + "positions")
+        if "pos_bits" in fmeta:
+            from diagon_tpu.codecs.bitpack import unpack_u32_numpy
+            from diagon_tpu.codecs.postings import decode_all_numpy
+
+            pp.positions = unpack_u32_numpy(
+                r.array(p + "positions_packed"),
+                fmeta["pos_bits"],
+                fmeta["pos_count"],
+            ).astype(np.int32)
+            _, freqs_all = decode_all_numpy(pp)
+            pos_start = np.zeros(len(freqs_all) + 1, dtype=np.int64)
+            np.cumsum(freqs_all, out=pos_start[1:])
+            pp.pos_start = pos_start
         seg.fields[fname] = SegmentFieldData(
             postings=pp,
             norms=r.array(p + "norms"),
