@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Sparse-vector retrieval benchmark (reference: SindiIndex /
+BlockMaxQuantizedIndexBenchmark).
+
+Synthetic SPLADE-like corpus; measures quantized top-10 retrieval QPS and
+recall vs exact float dot product.
+Run: python benchmarks/sparse_bench.py [--docs 100000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=50000)
+    ap.add_argument("--vocab", type=int, default=30000)
+    ap.add_argument("--nnz", type=int, default=120)
+    ap.add_argument("--queries", type=int, default=32)
+    args = ap.parse_args()
+
+    from diagon_tpu.sparse import SparseIndex, SparseSearcher, SparseVector
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    # Zipfian term usage like learned-sparse models
+    probs = 1.0 / np.arange(1, args.vocab + 1) ** 1.05
+    probs /= probs.sum()
+
+    t0 = time.time()
+    vecs = []
+    for _ in range(args.docs):
+        k = int(rng.integers(30, args.nnz))
+        ids = np.unique(rng.choice(args.vocab, size=k, p=probs))
+        vals = rng.random(len(ids)).astype(np.float32) * 2 + 0.05
+        vecs.append(SparseVector(ids, vals))
+    log(f"corpus: {time.time() - t0:.1f}s {args.docs} docs")
+
+    t0 = time.time()
+    idx = SparseIndex.build(vecs)
+    log(f"index build: {time.time() - t0:.1f}s "
+        f"({args.docs / (time.time() - t0):.0f} docs/s)")
+    searcher = SparseSearcher(idx)
+
+    qs = []
+    for _ in range(args.queries):
+        k = int(rng.integers(8, 24))
+        ids = np.unique(rng.choice(args.vocab, size=k, p=probs))
+        qs.append(SparseVector(ids, rng.random(len(ids)).astype(np.float32)))
+
+    searcher.search(qs[0], 10)  # compile
+    t0 = time.perf_counter()
+    for q in qs:
+        searcher.search(q, 10)
+    qps = args.queries / (time.perf_counter() - t0)
+    log(f"quantized top-10: {qps:.0f} qps single-stream")
+
+    # recall vs exact (on a subsample for tractability)
+    sub = min(args.docs, 5000)
+    rec = []
+    for q in qs[:8]:
+        exact = np.asarray([q.dot(v) for v in vecs[:sub]])
+        exact_top = set(np.argsort(-exact)[:10].tolist())
+        _, dd, _ = searcher.search(q, 50)
+        got = [int(d) for d in dd if d < sub][:10]
+        if exact_top:
+            rec.append(len(exact_top & set(got)) / 10.0)
+    log(f"recall@10 vs exact (subsample): {np.mean(rec):.3f}")
+
+    print(json.dumps({"metric": "sparse_top10_qps", "value": round(qps, 1),
+                      "unit": "qps"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,470 @@
+"""Row-bank scoring engine — contiguous-DMA-only scoring.
+
+Measured reality on TPU v5e: XLA per-ELEMENT gathers and scatters both run
+at ~40M elem/s (serialized), so any engine whose inner loop gathers or
+scatters per posting is off the table (v1 scatter: 5.9 s/batch; v2
+tile-searchsorted: 9.9 s/batch for a 128-query OR-20 batch). What the
+hardware does at full speed: contiguous row DMAs and elementwise VPU math.
+
+So the index view for scoring is **one dense f32 score row per term over
+the padded doc space** (the exact BM25 contribution of that term to every
+doc — idf already folded in, host-computed in numpy float32):
+
+- **Heavy terms** (df >= num_docs/HEAVY_FRACTION): rows live in a device
+  bank ``[H, D]`` built once per searcher.
+- **Light terms** (and boosted clauses): rows are densified on the host at
+  plan time (df is small, so it's a few microseconds) and uploaded as a
+  tiny per-plan bank; plans are cached.
+
+A query is then: ``scan`` over its clauses in oracle order, each step = one
+row gather (contiguous) + one masked add; boolean counts are elementwise
+indicator adds on the same rows; one ``top_k`` at the end. No multiplies
+(FMA-proof), no element gathers, no scatters. Bit-exact vs the oracle.
+
+This is the logical extreme of the SURVEY.md section 7 design: the
+"[term, block] impact table" becomes the score row itself — the TPU's
+answer to the reference's postings traversal is to not traverse at all.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HEAVY_FRACTION = 16  # heavy iff df >= num_docs_pad / HEAVY_FRACTION
+HEAVY_MIN_DF = 256
+
+
+def _bucket(n: int, minimum: int = 8) -> int:
+    return max(minimum, 1 << math.ceil(math.log2(max(1, n))))
+
+
+def _bucket_tq(n: int) -> int:
+    """Clause-count bucket: multiples of 4 up to 24, then powers of two.
+    Each scan step costs full [Q, D] traffic, so tight buckets matter."""
+    if n <= 24:
+        return max(4, ((n + 3) // 4) * 4)
+    return 1 << math.ceil(math.log2(n))
+
+
+def _row_for(hi, li, heavy_bank, light_bank):
+    """Select this clause's dense row; skips the light-bank gather at trace
+    time when the plan batch carries no host rows (bank is just the zero
+    row) — halves the gather traffic for the common all-heavy case."""
+    row_h = heavy_bank[jnp.maximum(hi, 0)]
+    if light_bank.shape[0] == 1:
+        return jnp.where(hi >= 0, row_h, jnp.float32(0.0))
+    row_l = light_bank[jnp.maximum(li, 0)]
+    return jnp.where(hi >= 0, row_h, row_l)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def row_score_topk_pure_or(
+    heavy_bank,  # f32 [H, D]
+    light_bank,  # f32 [L, D]
+    live,  # f32 [D]
+    hidx,  # int32 [Q, Tq]
+    lidx,  # int32 [Q, Tq]
+    *,
+    k: int,
+):
+    """Pure-disjunction fast path (SHOULD-only, minShouldMatch <= 1): a doc
+    matches iff its score is positive (contributions are positive), so no
+    count grids ride the scan — one f32 carry instead of four. Each scan
+    step unrolls 4 sequential adds (left-to-right, oracle order preserved)
+    so the carry stays in registers across the group instead of making an
+    HBM round-trip per clause."""
+    UNROLL = 4
+
+    def one_query(hidx_q, lidx_q):
+        Tq = hidx_q.shape[0]
+        hi_g = hidx_q.reshape(Tq // UNROLL, UNROLL)
+        li_g = lidx_q.reshape(Tq // UNROLL, UNROLL)
+
+        def step(scores, inp):
+            hi, li = inp
+            for j in range(UNROLL):
+                scores = scores + _row_for(
+                    hi[j], li[j], heavy_bank, light_bank
+                )
+            return scores, None
+
+        D = heavy_bank.shape[1]
+        scores, _ = jax.lax.scan(
+            step, jnp.zeros((D,), jnp.float32), (hi_g, li_g)
+        )
+        mask = (scores > 0) & (live > 0)
+        final = jnp.where(mask, scores, jnp.float32(-1.0))
+        top_scores, top_docs = jax.lax.top_k(final, k)
+        hits = jnp.sum(mask.astype(jnp.int32))
+        return jnp.concatenate(
+            [
+                top_scores,
+                top_docs.astype(jnp.float32),
+                hits[None].astype(jnp.float32),
+            ]
+        )
+
+    return jax.vmap(one_query)(hidx, lidx)
+
+
+class RowFieldIndex:
+    """Host+device state to produce per-term dense score rows."""
+
+    def __init__(
+        self,
+        pp,  # PackedPostings (host)
+        norms: np.ndarray,
+        num_docs_pad: int,
+        live_docs: Optional[np.ndarray],
+        tf_lut_host: np.ndarray,  # unscaled [128*F] f32 (idf=1)
+        device=None,
+    ):
+        from diagon_tpu.codecs.postings import decode_all_numpy
+
+        self.pp = pp
+        self.num_docs_pad = num_docs_pad
+        self.tf_lut_host = np.asarray(tf_lut_host, np.float32)
+        self.F = len(self.tf_lut_host) // 128
+
+        docs, freqs = decode_all_numpy(pp)
+        self.flat_docs = docs
+        self.flat_freqs = freqs
+        T = pp.num_terms
+        self.entry_start = np.zeros(T + 1, dtype=np.int64)
+        if T:
+            self.entry_start[:T] = pp.block_entry_start[pp.block_start[:T]]
+        self.entry_start[T] = len(docs)
+
+        norms_i = norms.astype(np.int64)
+        self.norms = norms_i
+        # per-posting unscaled tf factor (f32, oracle-identical)
+        self.tf_factor = self.tf_lut_host[
+            norms_i[docs] * self.F + np.minimum(freqs, self.F - 1)
+        ]
+
+        live = np.zeros(num_docs_pad, dtype=np.float32)
+        n_real = len(norms)
+        if live_docs is None:
+            live[:n_real] = 1.0
+        else:
+            live[: len(live_docs)] = live_docs.astype(np.float32)
+        self.live = jax.device_put(jnp.asarray(live), device)
+        self.device = device
+
+        # heavy-term device bank (rows scaled by each term's own idf at
+        # searcher-provided weights; built lazily because idf needs
+        # collection stats) — filled by build_heavy_bank.
+        self.heavy_row_of_term: Optional[np.ndarray] = None
+        self.heavy_bank = None
+
+    def host_row(self, tid: int, weight: np.float32) -> np.ndarray:
+        """Dense f32 score row for one term: weight * tf_factor scattered
+        onto the doc axis (numpy — exact oracle arithmetic)."""
+        row = np.zeros(self.num_docs_pad, dtype=np.float32)
+        s, e = int(self.entry_start[tid]), int(self.entry_start[tid + 1])
+        row[self.flat_docs[s:e]] = (
+            np.float32(weight) * self.tf_factor[s:e]
+        ).astype(np.float32)
+        return row
+
+    def build_heavy_bank(self, idf_of_tid) -> None:
+        """Materialize device rows for frequent terms.
+
+        idf_of_tid: callable tid -> np.float32 collection-level idf.
+        """
+        T = self.pp.num_terms
+        df = self.pp.doc_freq
+        threshold = max(HEAVY_MIN_DF, self.num_docs_pad // HEAVY_FRACTION)
+        heavy = np.nonzero(df >= threshold)[0]
+        self.heavy_row_of_term = np.full(T, -1, dtype=np.int32)
+        if len(heavy) == 0:
+            self.heavy_bank = jax.device_put(
+                jnp.zeros((1, self.num_docs_pad), jnp.float32), self.device
+            )
+            return
+        rows = np.zeros((len(heavy), self.num_docs_pad), dtype=np.float32)
+        for i, tid in enumerate(heavy):
+            self.heavy_row_of_term[tid] = i
+            rows[i] = self.host_row(int(tid), idf_of_tid(int(tid)))
+        self.heavy_bank = jax.device_put(jnp.asarray(rows), self.device)
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("k",))
+def row_score_topk(
+    heavy_bank,  # f32 [H, D]
+    light_bank,  # f32 [L, D] (row 0 all-zero)
+    live,  # f32 [D]
+    hidx,  # int32 [Q, Tq]  (-1 -> use light row)
+    lidx,  # int32 [Q, Tq]
+    scoring,  # bool [Q, Tq] clause contributes score (MUST/SHOULD)
+    req,  # f32 [Q, Tq]
+    sho,  # f32 [Q, Tq]
+    neg,  # f32 [Q, Tq]
+    bool_params,  # f32 [Q, 2]
+    *,
+    k: int,
+):
+    D = heavy_bank.shape[1]
+    zero = jnp.zeros((D,), jnp.float32)
+    one = jnp.ones((D,), jnp.float32)
+
+    def one_query(hidx_q, lidx_q, sc_q, req_q, sho_q, neg_q, params_q):
+        def step(carry, inp):
+            scores, req_c, sho_c, neg_c = carry
+            hi, li, sc, r, s, n = inp
+            row = _row_for(hi, li, heavy_bank, light_bank)  # [D]
+            scores = scores + jnp.where(sc, row, zero)
+            present = row > 0
+            ones = jnp.where(present, one, zero)
+            req_c = req_c + r * ones
+            sho_c = sho_c + s * ones
+            neg_c = neg_c + n * ones
+            return (scores, req_c, sho_c, neg_c), None
+
+        (scores, req_c, sho_c, neg_c), _ = jax.lax.scan(
+            step,
+            (zero, zero, zero, zero),
+            (hidx_q, lidx_q, sc_q, req_q, sho_q, neg_q),
+        )
+        num_required, min_should = params_q[0], params_q[1]
+        mask = (
+            (req_c == num_required)
+            & (sho_c >= min_should)
+            & (neg_c == 0)
+            & ((req_c + sho_c) > 0)
+            & (live > 0)
+        )
+        final = jnp.where(mask, scores, jnp.float32(-1.0))
+        top_scores, top_docs = jax.lax.top_k(final, k)
+        hits = jnp.sum(mask.astype(jnp.int32))
+        return jnp.concatenate(
+            [
+                top_scores,
+                top_docs.astype(jnp.float32),
+                hits[None].astype(jnp.float32),
+            ]
+        )
+
+    return jax.vmap(one_query)(
+        hidx, lidx, scoring, req, sho, neg, bool_params
+    )
+
+
+@jax.jit
+def row_count(
+    heavy_bank, light_bank, live, hidx, lidx, scoring, req, sho, neg,
+    bool_params,
+):
+    D = heavy_bank.shape[1]
+    zero = jnp.zeros((D,), jnp.float32)
+    one = jnp.ones((D,), jnp.float32)
+
+    def one_query(hidx_q, lidx_q, req_q, sho_q, neg_q, params_q):
+        def step(carry, inp):
+            req_c, sho_c, neg_c = carry
+            hi, li, r, s, n = inp
+            row = _row_for(hi, li, heavy_bank, light_bank)
+            ones = jnp.where(row > 0, one, zero)
+            return (req_c + r * ones, sho_c + s * ones, neg_c + n * ones), None
+
+        (req_c, sho_c, neg_c), _ = jax.lax.scan(
+            step, (zero, zero, zero), (hidx_q, lidx_q, req_q, sho_q, neg_q)
+        )
+        mask = (
+            (req_c == params_q[0])
+            & (sho_c >= params_q[1])
+            & (neg_c == 0)
+            & ((req_c + sho_c) > 0)
+            & (live > 0)
+        )
+        return jnp.sum(mask.astype(jnp.int32))
+
+    return jax.vmap(one_query)(hidx, lidx, req, sho, neg, bool_params)
+
+
+# ---------------------------------------------------------------------------
+# Plans + executor
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RowPlan:
+    hidx: np.ndarray  # int32 [Tq_pad]
+    light_rows: np.ndarray  # f32 [n_light, D] host rows for this plan
+    lidx: np.ndarray  # int32 [Tq_pad] (index into plan-local light rows +1;
+    #                   0 = the shared zero row)
+    scoring: np.ndarray  # bool [Tq_pad]
+    req: np.ndarray
+    sho: np.ndarray
+    neg: np.ndarray
+    num_required: int
+    min_should: int
+    pure_or: bool = False  # SHOULD-only, minShouldMatch <= 1
+    _dev: object = None  # cached device light bank
+
+
+class RowExecutor:
+    def __init__(self, index: RowFieldIndex):
+        self.index = index
+        self._batch_cache: Dict[tuple, tuple] = {}
+
+    def build_plan(self, term_plans, min_should: int,
+                   idf_of_tid) -> RowPlan:
+        """term_plans: engine.TermPlan list in oracle order. Clauses with
+        boost-adjusted weights or light terms get host rows."""
+        idx = self.index
+        n = len(term_plans)
+        tq = _bucket_tq(n)
+        hidx = np.full(tq, -1, dtype=np.int32)
+        lidx = np.zeros(tq, dtype=np.int32)
+        scoring = np.zeros(tq, dtype=bool)
+        req = np.zeros(tq, dtype=np.float32)
+        sho = np.zeros(tq, dtype=np.float32)
+        neg = np.zeros(tq, dtype=np.float32)
+        light_rows: List[np.ndarray] = []
+        num_required = 0
+
+        for i, tp in enumerate(term_plans):
+            if tp.required:
+                num_required += 1
+            present = tp.term_id >= 0
+            scoring[i] = (not tp.negated) and tp.weight != 0.0
+            req[i] = 1.0 if (tp.required and present) else 0.0
+            sho[i] = 1.0 if (tp.should and present) else 0.0
+            neg[i] = 1.0 if (tp.negated and present) else 0.0
+            if not present:
+                continue
+            hrow = (
+                idx.heavy_row_of_term[tp.term_id]
+                if idx.heavy_row_of_term is not None
+                else -1
+            )
+            # heavy bank rows are scaled by the term's collection idf; a
+            # clause whose weight differs (boost != 1, or FILTER/MUST_NOT
+            # where weight==0 but we still need presence) can use the bank
+            # row when only PRESENCE matters (non-scoring clauses).
+            bank_ok = hrow >= 0 and (
+                (not scoring[i])
+                or np.float32(tp.weight) == idf_of_tid(tp.term_id)
+            )
+            if bank_ok:
+                hidx[i] = hrow
+            else:
+                w = np.float32(tp.weight) if scoring[i] else np.float32(1.0)
+                light_rows.append(idx.host_row(tp.term_id, w))
+                lidx[i] = len(light_rows)  # +1 offset (0 = zero row)
+        rows = (
+            np.stack(light_rows)
+            if light_rows
+            else np.zeros((0, idx.num_docs_pad), np.float32)
+        )
+        pure_or = (
+            num_required == 0
+            and min_should <= 1
+            and not any(tp.negated for tp in term_plans)
+            and all(
+                tp.should and tp.weight != 0.0
+                for tp in term_plans
+                if tp.term_id >= 0
+            )
+        )
+        return RowPlan(
+            hidx, rows, lidx, scoring, req, sho, neg, num_required,
+            min_should, pure_or,
+        )
+
+    def _stack(self, plans: Sequence[RowPlan]):
+        tq = _bucket(max(len(p.hidx) for p in plans))
+
+        def pad(get, dtype, fill=0):
+            out = np.full((len(plans), tq), fill, dtype=dtype)
+            for i, p in enumerate(plans):
+                v = get(p)
+                out[i, : len(v)] = v
+            return out
+
+        # light bank: stack per-plan host rows; remap per-plan lidx
+        total = sum(len(p.light_rows) for p in plans)
+        nrows = _bucket(total + 1, minimum=1)
+        bank = np.zeros((nrows, self.index.num_docs_pad), dtype=np.float32)
+        lidx = pad(lambda p: p.lidx, np.int32)
+        off = 1
+        for qi, p in enumerate(plans):
+            nr = len(p.light_rows)
+            if nr:
+                bank[off : off + nr] = p.light_rows
+                row = lidx[qi]
+                row[row > 0] += off - 1
+            off += nr
+
+        return (
+            jnp.asarray(pad(lambda p: p.hidx, np.int32, fill=-1)),
+            jnp.asarray(lidx),
+            jnp.asarray(pad(lambda p: p.scoring, bool)),
+            jnp.asarray(pad(lambda p: p.req, np.float32)),
+            jnp.asarray(pad(lambda p: p.sho, np.float32)),
+            jnp.asarray(pad(lambda p: p.neg, np.float32)),
+            jnp.asarray(
+                [[p.num_required, p.min_should] for p in plans], jnp.float32
+            ),
+            jnp.asarray(bank),
+        )
+
+    def _args(self, plans: Sequence[RowPlan]):
+        ck = tuple(id(p) for p in plans)
+        entry = self._batch_cache.get(ck)
+        if entry is None:
+            stacked = self._stack(plans)
+            entry = (list(plans), stacked)
+            if len(self._batch_cache) < 64:
+                self._batch_cache[ck] = entry
+        (hidx, lidx, scoring, req, sho, neg, bool_params, light_bank) = entry[1]
+        return (
+            self.index.heavy_bank,
+            light_bank,
+            self.index.live,
+            hidx,
+            lidx,
+            scoring,
+            req,
+            sho,
+            neg,
+            bool_params,
+        )
+
+    def dispatch(self, plans: Sequence[RowPlan], k: int):
+        args = self._args(plans)
+        if all(p.pure_or for p in plans):
+            (heavy, light, live, hidx, lidx, *_rest) = args
+            return row_score_topk_pure_or(
+                heavy, light, live, hidx, lidx, k=k
+            )
+        return row_score_topk(*args, k=k)
+
+    def top_k_batch(self, plans: Sequence[RowPlan], k: int):
+        from diagon_tpu.search.engine import unfuse_topk
+
+        return unfuse_topk(self.dispatch(plans, k), k)
+
+    def top_k(self, plan: RowPlan, k: int):
+        scores, docs, hits = self.top_k_batch([plan], k)
+        return scores[0], docs[0], hits[0]
+
+    def count_batch(self, plans: Sequence[RowPlan]) -> np.ndarray:
+        args = self._args(plans)
+        return np.asarray(row_count(*args))
+
+    def count(self, plan: RowPlan) -> int:
+        return int(self.count_batch([plan])[0])

@@ -55,8 +55,6 @@ class _FieldContext:
     """Collection-level scoring state for one field."""
 
     def __init__(self, searcher: "IndexSearcher", field: str):
-        from diagon_tpu.search.engine2 import TileExecutor, build_tile_arrays
-
         self.field = field
         self.avgdl = collection_stats(
             searcher.device_segments, field, searcher.max_doc
@@ -74,23 +72,32 @@ class _FieldContext:
             else None
             for ds in searcher.device_segments
         ]
-        # Tile-grid executors (the scatter-free fast path); need the host
-        # segment copy to build the tile view.
-        self.tile_executors = []
+        # Row-bank executors (the contiguous-DMA fast path); need the host
+        # segment copy to build rows.
+        from diagon_tpu.search.row_engine import RowExecutor, RowFieldIndex
+
+        self.row_executors = []
         for ds in searcher.device_segments:
             if field in ds.fields and ds.source is not None:
                 fd = ds.source.fields[field]
-                arrays = build_tile_arrays(
+                ridx = RowFieldIndex(
                     fd.postings,
                     fd.norms,
                     ds.num_docs_pad,
                     ds.source.live_docs,
+                    self.tf_lut_host,
                 )
-                self.tile_executors.append(
-                    TileExecutor(arrays, self.tf_lut_host)
-                )
+                pp = fd.postings
+
+                def idf_of_tid(tid, _pp=pp, _s=searcher, _f=field):
+                    return _s._idf(_f, _pp.terms[tid], 1.0)
+
+                ridx.build_heavy_bank(idf_of_tid)
+                ex = RowExecutor(ridx)
+                ex.idf_of_tid = idf_of_tid
+                self.row_executors.append(ex)
             else:
-                self.tile_executors.append(None)
+                self.row_executors.append(None)
 
 
 class IndexSearcher:
@@ -222,16 +229,14 @@ class IndexSearcher:
             out.append(tps)
         return out
 
-    def _tile_plans(
+    def _row_plans(
         self,
         field: str,
         clauses: List[Tuple[TermQuery, Occur]],
         min_should: int,
     ):
-        from diagon_tpu.search.engine2 import build_tile_plan
-
         cache_key = (
-            "tile",
+            "row",
             field,
             tuple(sorted((o.value, q.term.text, q.boost) for q, o in clauses)),
             min_should,
@@ -239,10 +244,14 @@ class IndexSearcher:
         cached = self._plan_cache.get(cache_key)
         if cached is not None:
             return cached
-        plans = [
-            build_tile_plan(tps, min_should) if tps is not None else None
-            for tps in self._clause_term_plans(field, clauses)
-        ]
+        ctx = self._ctx(field)
+        plans = []
+        for si, tps in enumerate(self._clause_term_plans(field, clauses)):
+            ex = ctx.row_executors[si]
+            if tps is None or ex is None:
+                plans.append(None)
+                continue
+            plans.append(ex.build_plan(tps, min_should, ex.idf_of_tid))
         self._plan_cache[cache_key] = plans
         return plans
 
@@ -319,13 +328,13 @@ class IndexSearcher:
         if tc is not None:
             field, clauses, min_should = tc
             ctx = self._ctx(field)
-            use_tile = all(
+            use_row = all(
                 te is not None or ctx.executors[si] is None
-                for si, te in enumerate(ctx.tile_executors)
+                for si, te in enumerate(ctx.row_executors)
             )
             with ProfileScope("plan"):
-                if use_tile:
-                    plans = self._tile_plans(field, clauses, min_should)
+                if use_row:
+                    plans = self._row_plans(field, clauses, min_should)
                 else:
                     plans = self._segment_plans(field, clauses, min_should)
             parts: List[TopDocs] = []
@@ -334,7 +343,7 @@ class IndexSearcher:
                     if plan is None:
                         continue
                     ex = (
-                        ctx.tile_executors[si] if use_tile else ctx.executors[si]
+                        ctx.row_executors[si] if use_row else ctx.executors[si]
                     )
                     kk = min(k, self.device_segments[si].num_docs_pad)
                     scores, docs, hits = ex.top_k(plan, kk)
@@ -368,15 +377,15 @@ class IndexSearcher:
             raise ValueError("search_batch requires a single field per batch")
         field = fields.pop()
         ctx = self._ctx(field)
-        use_tile = all(
+        use_row = all(
             te is not None or ctx.executors[si] is None
-            for si, te in enumerate(ctx.tile_executors)
+            for si, te in enumerate(ctx.row_executors)
         )
 
         per_seg_plans = []
         for f, clauses, min_should in flat:
-            if use_tile:
-                per_seg_plans.append(self._tile_plans(field, clauses, min_should))
+            if use_row:
+                per_seg_plans.append(self._row_plans(field, clauses, min_should))
             else:
                 per_seg_plans.append(
                     self._segment_plans(field, clauses, min_should)
@@ -389,7 +398,7 @@ class IndexSearcher:
             plans = [pp[si] for pp in per_seg_plans]
             if any(p is None for p in plans):
                 continue
-            ex = ctx.tile_executors[si] if use_tile else ctx.executors[si]
+            ex = ctx.row_executors[si] if use_row else ctx.executors[si]
             kk = min(k, ds.num_docs_pad)
             scores, docs, hits = ex.top_k_batch(plans, kk)
             scores = np.asarray(scores)
@@ -406,8 +415,6 @@ class IndexSearcher:
         waiting for results. Use with ``collect_batch`` to pipeline many
         batches through the device (the serving pattern: readback latency
         amortizes across in-flight batches)."""
-        from diagon_tpu.search.engine2 import tile_score_topk
-
         flat = []
         for q in queries:
             tc = self._term_clauses(q)
@@ -418,25 +425,15 @@ class IndexSearcher:
         ctx = self._ctx(field)
         handles = []
         for si, ds in enumerate(self.device_segments):
-            te = ctx.tile_executors[si]
-            if te is None:
+            ex = ctx.row_executors[si]
+            if ex is None:
                 continue
             plans = [
-                self._tile_plans(field, clauses, ms)[si]
+                self._row_plans(field, clauses, ms)[si]
                 for _, clauses, ms in flat
             ]
             kk = min(k, ds.num_docs_pad)
-            if getattr(te, "_dispatch_cache", None) is None:
-                te._dispatch_cache = {}
-            ck = tuple(id(p) for p in plans)
-            entry = te._dispatch_cache.get(ck)
-            if entry is None:
-                entry = (plans, te._stack(plans))
-                if len(te._dispatch_cache) < 64:
-                    te._dispatch_cache[ck] = entry
-            fused = tile_score_topk(
-                *te._index_args(), *entry[1], k=kk
-            )
+            fused = ex.dispatch(plans, kk)
             handles.append((si, kk, fused))
         return (len(queries), k, handles)
 
@@ -459,19 +456,19 @@ class IndexSearcher:
         if tc is not None:
             field, clauses, min_should = tc
             ctx = self._ctx(field)
-            use_tile = all(
+            use_row = all(
                 te is not None or ctx.executors[si] is None
-                for si, te in enumerate(ctx.tile_executors)
+                for si, te in enumerate(ctx.row_executors)
             )
-            if use_tile:
-                plans = self._tile_plans(field, clauses, min_should)
+            if use_row:
+                plans = self._row_plans(field, clauses, min_should)
             else:
                 plans = self._segment_plans(field, clauses, min_should)
             total = 0
             for si, plan in enumerate(plans):
                 if plan is None:
                     continue
-                ex = ctx.tile_executors[si] if use_tile else ctx.executors[si]
+                ex = ctx.row_executors[si] if use_row else ctx.executors[si]
                 total += ex.count(plan)
             return total
         return self._fallback_count(query)
