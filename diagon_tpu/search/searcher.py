@@ -124,6 +124,10 @@ class IndexSearcher:
         # caches are valid for the searcher's lifetime.
         self._idf_cache: Dict[Tuple[str, str, float], np.float32] = {}
         self._plan_cache: Dict[tuple, List[Optional[SegmentPlan]]] = {}
+        # identity-keyed first-level caches (repeated Query objects skip
+        # clause parsing and structural key construction entirely)
+        self._query_cache: Dict[int, tuple] = {}
+        self._query_cache_refs: List[Query] = []
 
     # -- stats -------------------------------------------------------------
     def _ctx(self, field: str) -> _FieldContext:
@@ -227,6 +231,22 @@ class IndexSearcher:
             for q, _ in must_not:
                 tps.append(TermPlan(f.term_id(q.term.text), 0.0, negated=True))
             out.append(tps)
+        return out
+
+    def _cached_query_plans(self, query: Query):
+        """(field, row plans) for a query, cached by object identity."""
+        hit = self._query_cache.get(id(query))
+        if hit is not None:
+            return hit
+        tc = self._term_clauses(query)
+        if tc is None:
+            out = None
+        else:
+            field, clauses, min_should = tc
+            out = (field, self._row_plans(field, clauses, min_should))
+        if len(self._query_cache) < 4096:
+            self._query_cache[id(query)] = out
+            self._query_cache_refs.append(query)  # keep ids stable
         return out
 
     def _row_plans(
@@ -417,10 +437,10 @@ class IndexSearcher:
         amortizes across in-flight batches)."""
         flat = []
         for q in queries:
-            tc = self._term_clauses(q)
-            if tc is None:
+            qp = self._cached_query_plans(q)
+            if qp is None:
                 raise ValueError(f"dispatch_batch: unsupported query {q!r}")
-            flat.append(tc)
+            flat.append(qp)
         field = flat[0][0]
         ctx = self._ctx(field)
         handles = []
@@ -428,14 +448,41 @@ class IndexSearcher:
             ex = ctx.row_executors[si]
             if ex is None:
                 continue
-            plans = [
-                self._row_plans(field, clauses, ms)[si]
-                for _, clauses, ms in flat
-            ]
+            plans = [seg_plans[si] for _, seg_plans in flat]
             kk = min(k, ds.num_docs_pad)
             fused = ex.dispatch(plans, kk)
             handles.append((si, kk, fused))
         return (len(queries), k, handles)
+
+    def collect_many(self, handles) -> List[List[TopDocs]]:
+        """Resolve many dispatch_batch handles with ONE device->host
+        transfer (the per-fetch latency through a tunneled TPU dominates
+        otherwise): stacks every handle's fused outputs on device, reads
+        once, then decodes."""
+        import jax.numpy as jnp
+
+        from diagon_tpu.search.engine import unfuse_topk
+
+        # group fused arrays by (segment, k) shape
+        all_fused = [f for _, _, parts in handles for _, _, f in parts]
+        if not all_fused:
+            return [self.collect_batch(h) for h in handles]
+        stacked = np.asarray(jnp.concatenate([f.reshape(-1) for f in all_fused]))
+        out: List[List[TopDocs]] = []
+        pos = 0
+        for nq, k, parts in handles:
+            results: List[List[TopDocs]] = [[] for _ in range(nq)]
+            for si, kk, f in parts:
+                n = int(np.prod(f.shape))
+                flat = stacked[pos : pos + n].reshape(f.shape)
+                pos += n
+                scores, docs, hits = unfuse_topk(flat, kk)
+                for qi in range(nq):
+                    results[qi].append(
+                        self._to_topdocs(si, scores[qi], docs[qi], hits[qi])
+                    )
+            out.append([merge_top_docs(parts_q, k) for parts_q in results])
+        return out
 
     def collect_batch(self, handle) -> List[TopDocs]:
         """Resolve a dispatch_batch handle into per-query TopDocs."""
