@@ -113,6 +113,26 @@ def flush_memory_index(mem: MemoryIndex, name: str) -> Optional[SegmentData]:
                 nat["positions"] if fb.with_positions else None,
                 norms,
             )
+        elif nat is None and not fb.with_positions:
+            # dict postings without positions -> CSR -> vectorized packer
+            from diagon_tpu.codecs.postings import build_packed_postings_csr
+
+            postings_arrays, _ = mem.field_term_arrays(fname)
+            terms = sorted(postings_arrays.keys())
+            entry_start = np.zeros(len(terms) + 1, dtype=np.int64)
+            docs_l, freqs_l = [], []
+            for i, t in enumerate(terms):
+                d, f = postings_arrays[t]
+                entry_start[i + 1] = entry_start[i] + len(d)
+                docs_l.append(d)
+                freqs_l.append(f)
+            pp = build_packed_postings_csr(
+                terms,
+                entry_start,
+                np.concatenate(docs_l) if docs_l else np.zeros(0, np.int64),
+                np.concatenate(freqs_l) if freqs_l else np.zeros(0, np.int64),
+                norms=norms,
+            )
         else:
             postings_arrays, positions = mem.field_term_arrays(fname)
             pp = build_packed_postings(postings_arrays, positions, norms)
