@@ -53,6 +53,37 @@ def _bucket_tq(n: int) -> int:
     return 1 << math.ceil(math.log2(n))
 
 
+def exact_topk(final: jnp.ndarray, k: int):
+    """(scores desc, docid asc) top-k over a dense [D] score vector.
+
+    For large D, a two-stage exact selection: per-128-tile maxima -> top-k
+    tiles -> top-k within their lanes. Exactness: if a true top-k doc's
+    tile were excluded, each of the k selected tiles has max >= that doc's
+    score, and for ties the selected tile's max-doc has a lower docid
+    (lower tile index), so k docs outrank it — contradiction. The final
+    ordering is restored with a lexicographic (score desc, docid asc) sort
+    over the k*128 candidates.
+    """
+    D = final.shape[0]
+    if D <= 32768 or D % LANE != 0:
+        return jax.lax.top_k(final, k)  # ties -> lower index == lower docid
+    G = D // LANE
+    tiles = final.reshape(G, LANE)
+    tmax = jnp.max(tiles, axis=1)
+    _, tidx = jax.lax.top_k(tmax, k)  # ties -> lower tile index
+    cand = tiles[tidx]  # [k, LANE] contiguous row gather
+    cand_docs = (
+        tidx[:, None] * LANE
+        + jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    ).reshape(-1)
+    flat = cand.reshape(-1)
+    neg, docs_sorted = jax.lax.sort(
+        (jnp.negative(flat), cand_docs), dimension=0, is_stable=True,
+        num_keys=2,
+    )
+    return -neg[:k], docs_sorted[:k]
+
+
 def _row_for(hi, li, heavy_bank, light_bank):
     """Select this clause's dense row; skips the light-bank gather at trace
     time when the plan batch carries no host rows (bank is just the zero
@@ -101,7 +132,7 @@ def row_score_topk_pure_or(
         )
         mask = (scores > 0) & (live > 0)
         final = jnp.where(mask, scores, jnp.float32(-1.0))
-        top_scores, top_docs = jax.lax.top_k(final, k)
+        top_scores, top_docs = exact_topk(final, k)
         hits = jnp.sum(mask.astype(jnp.int32))
         return jnp.concatenate(
             [
@@ -247,7 +278,7 @@ def row_score_topk(
             & (live > 0)
         )
         final = jnp.where(mask, scores, jnp.float32(-1.0))
-        top_scores, top_docs = jax.lax.top_k(final, k)
+        top_scores, top_docs = exact_topk(final, k)
         hits = jnp.sum(mask.astype(jnp.int32))
         return jnp.concatenate(
             [
