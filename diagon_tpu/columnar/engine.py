@@ -45,11 +45,11 @@ def _range_agg_kernel(
     gmask = (gmax >= lower) & (gmin <= upper)  # SKIP level
     rmask = valid & (filt >= lower) & (filt <= upper) & gmask[:, None]
 
-    cnt = jnp.sum(rmask)
+    cnt = jnp.sum(rmask).astype(jnp.float32)
     s = jnp.sum(jnp.where(rmask, aggv, 0.0))
     mn = jnp.min(jnp.where(rmask, aggv, jnp.inf))
     mx = jnp.max(jnp.where(rmask, aggv, -jnp.inf))
-    granules_scanned = jnp.sum(gmask.astype(jnp.int32))
+    granules_scanned = jnp.sum(gmask.astype(jnp.int32)).astype(jnp.float32)
 
     if with_group:
         gidx = jnp.where(rmask, groups, num_groups).reshape(-1)
@@ -64,8 +64,9 @@ def _range_agg_kernel(
             .add(jnp.where(rmask, aggv, 0.0).reshape(-1).astype(jnp.float32),
                  mode="drop")[:num_groups]
         )
-        return cnt, s, mn, mx, granules_scanned, gcnt, gsum
-    return cnt, s, mn, mx, granules_scanned
+        return jnp.stack([cnt, s, mn, mx, granules_scanned]), gcnt, gsum
+    # single fused output -> one device->host readback
+    return jnp.stack([cnt, s, mn, mx, granules_scanned])
 
 
 class DeviceTable:
@@ -123,17 +124,19 @@ class DeviceTable:
             gmax = jnp.max(jnp.where(self.valid, filt, -jnp.inf), axis=1)
         else:
             gmin, gmax = mm
-        cnt, s, mn, mx, gs = _range_agg_kernel(
-            filt, aggv, self.valid, gmin, gmax, self._bounds(lower, upper)
-        )
-        cnt = int(cnt)
+        fused = np.asarray(
+            _range_agg_kernel(
+                filt, aggv, self.valid, gmin, gmax, self._bounds(lower, upper)
+            )
+        )  # one device->host readback
+        cnt = int(fused[0])
         return {
             "count": cnt,
-            "sum": float(s),
-            "min": float(mn) if cnt else None,
-            "max": float(mx) if cnt else None,
-            "avg": float(s) / cnt if cnt else None,
-            "granules_scanned": int(gs),
+            "sum": float(fused[1]),
+            "min": float(fused[2]) if cnt else None,
+            "max": float(fused[3]) if cnt else None,
+            "avg": float(fused[1]) / cnt if cnt else None,
+            "granules_scanned": int(fused[4]),
             "granules_total": self.num_granules,
         }
 
@@ -156,7 +159,7 @@ class DeviceTable:
             gmax = jnp.max(jnp.where(self.valid, filt, -jnp.inf), axis=1)
         else:
             gmin, gmax = mm
-        cnt, s, mn, mx, gs, gcnt, gsum = _range_agg_kernel(
+        fused, gcnt, gsum = _range_agg_kernel(
             filt,
             aggv,
             self.valid,
@@ -167,9 +170,10 @@ class DeviceTable:
             with_group=True,
             num_groups=num_groups,
         )
+        fused = np.asarray(fused)
         return {
-            "count": int(cnt),
+            "count": int(fused[0]),
             "group_counts": np.asarray(gcnt),
             "group_sums": np.asarray(gsum),
-            "granules_scanned": int(gs),
+            "granules_scanned": int(fused[4]),
         }

@@ -27,12 +27,7 @@ import numpy as np
 
 from diagon_tpu.codecs.postings import build_packed_postings
 from diagon_tpu.index.segment import SegmentData, SegmentFieldData
-from diagon_tpu.search.device_index import load_segment
-from diagon_tpu.search.engine import (
-    SegmentExecutor,
-    TermPlan,
-    build_segment_plan,
-)
+from diagon_tpu.search.engine import TermPlan
 from diagon_tpu.sparse.vector import SparseVector
 
 NUM_BINS = 255
@@ -84,42 +79,56 @@ class SparseIndex:
 
 
 class SparseSearcher:
-    """Device executor for a SparseIndex (approximate to quantization)."""
+    """Device executor for a SparseIndex (approximate to quantization).
+
+    Runs on the row-bank engine: each query term becomes a host-densified
+    dense row of dequantized partial products (weight * scale * bin),
+    exactly the quantized-oracle arithmetic; the device sums rows and
+    top-ks. The identity LUT (lut[bin] = bin, norms all zero) makes
+    ``host_row`` compute precisely ``weight * bin``.
+    """
 
     def __init__(self, index: SparseIndex, device=None):
+        import jax
+
+        from diagon_tpu.search.row_engine import RowExecutor, RowFieldIndex
+
         self.index = index
-        self.device_segment = load_segment(index.segment, device)
-        f = self.device_segment.fields["_sparse"]
-        # identity dequant LUT: norms are all 0, so only row 0 is read;
-        # fill every row anyway (cheap, robust).
-        F = f.max_freq + 1
+        seg = index.segment
+        fd = seg.fields["_sparse"]
+        pp = fd.postings
+        F = int(pp.block_max_freq.max(initial=1)) + 1
         lut = np.tile(np.arange(F, dtype=np.float32), 128)
-        self.tf_lut = jnp.asarray(lut)
-        self.executor = SegmentExecutor(
-            self.device_segment, "_sparse", self.tf_lut
+        num_docs_pad = max(128, ((seg.num_docs + 127) // 128) * 128)
+        ridx = RowFieldIndex(
+            pp, fd.norms, num_docs_pad, seg.live_docs, lut, device
         )
-        self.field = f
+        # no idf-scaled heavy bank for sparse (weights are query-dependent);
+        # all clauses use host rows
+        ridx.heavy_bank = jax.device_put(
+            jnp.zeros((1, num_docs_pad), jnp.float32), device
+        )
+        self.executor = RowExecutor(ridx)
+        self.pp = pp
+        self.num_docs_pad = num_docs_pad
 
     def search(self, query: SparseVector, k: int = 10):
         """Top-k docs by quantized dot product -> (scores, docids, hits)."""
-        f = self.field
         tps = []
         for t, w in zip(query.ids, query.values):
             key = str(int(t))
-            tid = f.term_id(key)
+            tid = self.pp.term_id(key)
             if tid < 0:
                 continue
-            weight = float(w) * self.index.scales[key]
-            tps.append(TermPlan(tid, weight, should=True))
+            weight = np.float32(np.float32(w) * np.float32(self.index.scales[key]))
+            tps.append(TermPlan(tid, float(weight), should=True))
         if not tps:
-            return (
-                np.zeros(0, np.float32),
-                np.zeros(0, np.int32),
-                0,
-            )
-        plan = build_segment_plan(f, tps, min_should=1, inv_avgdl=1.0)
+            return np.zeros(0, np.float32), np.zeros(0, np.int32), 0
+        plan = self.executor.build_plan(
+            tps, min_should=1, idf_of_tid=lambda tid: np.float32(np.nan)
+        )
         scores, docs, hits = self.executor.top_k(
-            plan, min(k, self.device_segment.num_docs_pad)
+            plan, min(k, self.num_docs_pad)
         )
         n = min(int(hits), k)
         return scores[:n], docs[:n], int(hits)
@@ -136,7 +145,9 @@ class SparseSearcher:
             tid = pp.term_id(key)
             if tid < 0:
                 continue
-            weight = np.float32(float(w) * self.index.scales[key])
+            weight = np.float32(
+                np.float32(w) * np.float32(self.index.scales[key])
+            )
             for b in range(int(pp.block_start[tid]), int(pp.block_start[tid + 1])):
                 docs, bins = decode_block_numpy(pp, b)
                 scores[docs] += weight * bins.astype(np.float32)
