@@ -148,6 +148,9 @@ class PhraseExecutor:
             raise ValueError(
                 f"field {field_name!r} was indexed without positions"
             )
+        if segment.source is None:
+            raise ValueError("phrase execution requires the host segment")
+        self._host_pp = segment.source.fields[field_name].postings
         self.tf_lut = tf_lut
         live = segment.live_docs
         if live is None:
@@ -187,7 +190,18 @@ class PhraseExecutor:
         min_df = min(int(f.doc_freq[t]) for t in tids)
         cand_cap = max(128, 1 << int(np.ceil(np.log2(max(1, min_df)))))
         cand_cap = min(cand_cap, self.segment.num_docs_pad)
-        pos_cap = max(8, 1 << int(np.ceil(np.log2(max(1, f.max_positions_per_entry)))))
+        # Position window: bounded by the PHRASE terms' own max tf (from the
+        # block-max columns), not the field-wide max — typically 4-8x
+        # narrower, and the window gathers dominate phrase cost.
+        pp_host = self._host_pp
+        max_tf = 1
+        for t in tids:
+            bs, be = int(f.block_start[t]), int(f.block_start[t + 1])
+            if be > bs:
+                max_tf = max(
+                    max_tf, int(pp_host.block_max_freq[bs:be].max())
+                )
+        pos_cap = max(8, 1 << int(np.ceil(np.log2(max_tf))))
 
         fused = phrase_topk(
             f.packed,

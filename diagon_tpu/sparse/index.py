@@ -112,26 +112,59 @@ class SparseSearcher:
         self.pp = pp
         self.num_docs_pad = num_docs_pad
 
-    def search(self, query: SparseVector, k: int = 10):
-        """Top-k docs by quantized dot product -> (scores, docids, hits)."""
+    def _plan(self, query: SparseVector, pad_to: int = 0):
         tps = []
         for t, w in zip(query.ids, query.values):
             key = str(int(t))
             tid = self.pp.term_id(key)
             if tid < 0:
                 continue
-            weight = np.float32(np.float32(w) * np.float32(self.index.scales[key]))
+            weight = np.float32(
+                np.float32(w) * np.float32(self.index.scales[key])
+            )
             tps.append(TermPlan(tid, float(weight), should=True))
+        while len(tps) < pad_to:
+            tps.append(TermPlan(-1, 0.0, should=True))
         if not tps:
-            return np.zeros(0, np.float32), np.zeros(0, np.int32), 0
-        plan = self.executor.build_plan(
+            return None
+        return self.executor.build_plan(
             tps, min_should=1, idf_of_tid=lambda tid: np.float32(np.nan)
         )
+
+    def search(self, query: SparseVector, k: int = 10):
+        """Top-k docs by quantized dot product -> (scores, docids, hits)."""
+        plan = self._plan(query)
+        if plan is None:
+            return np.zeros(0, np.float32), np.zeros(0, np.int32), 0
         scores, docs, hits = self.executor.top_k(
             plan, min(k, self.num_docs_pad)
         )
         n = min(int(hits), k)
         return scores[:n], docs[:n], int(hits)
+
+    def search_batch(self, queries: Sequence[SparseVector], k: int = 10):
+        """Batched top-k: list of (scores, docids, hits) per query. Plans
+        pad to a common clause bucket so one device program serves all."""
+        from diagon_tpu.search.row_engine import _bucket_tq
+
+        pad_to = _bucket_tq(max(max(len(q), 1) for q in queries))
+        plans = [self._plan(q, pad_to=pad_to) for q in queries]
+        live = [p for p in plans if p is not None]
+        kk = min(k, self.num_docs_pad)
+        if live:
+            scores, docs, hits = self.executor.top_k_batch(live, kk)
+        out = []
+        li = 0
+        for p in plans:
+            if p is None:
+                out.append(
+                    (np.zeros(0, np.float32), np.zeros(0, np.int32), 0)
+                )
+            else:
+                n = min(int(hits[li]), k)
+                out.append((scores[li][:n], docs[li][:n], int(hits[li])))
+                li += 1
+        return out
 
     def search_oracle(self, query: SparseVector, k: int = 10):
         """Exact numpy scoring of the QUANTIZED index (test oracle)."""

@@ -84,3 +84,18 @@ def test_missing_terms_query():
     q = SparseVector([99999], [1.0])
     scores, docs, hits = searcher.search(q, 10)
     assert hits == 0 and len(scores) == 0
+
+
+def test_search_batch_matches_single():
+    rng = np.random.Generator(np.random.PCG64(11))
+    vecs = _random_vectors(rng, 300)
+    idx = SparseIndex.build(vecs)
+    searcher = SparseSearcher(idx)
+    qs = _random_vectors(np.random.Generator(np.random.PCG64(12)), 5, nnz=15)
+    qs.append(SparseVector([999999], [1.0]))  # no matches
+    batch = searcher.search_batch(qs, 10)
+    for q, (bs, bd, bh) in zip(qs, batch):
+        ss, sd, sh = searcher.search(q, 10)
+        assert bh == sh
+        np.testing.assert_array_equal(bd, sd)
+        np.testing.assert_array_equal(bs, ss)
