@@ -144,9 +144,10 @@ class ShardedSearcher:
 
         self._idf_cache: Dict[str, np.float32] = {}
 
-        # per-shard row indexes with a COMMON doc padding
+        # per-shard row indexes with a COMMON doc padding (1024 = pallas TILE)
         d_pad = max(
-            128, ((max(s.num_docs for s in self.shards) + 127) // 128) * 128
+            1024,
+            ((max(s.num_docs for s in self.shards) + 1023) // 1024) * 1024,
         )
         self.num_docs_pad = d_pad
         self.row_indexes: List[RowFieldIndex] = []

@@ -140,8 +140,11 @@ def load_field(fd: SegmentFieldData, num_docs_pad: int, device=None) -> DeviceFi
 
 
 def load_segment(seg: SegmentData, device=None, keep_source: bool = True) -> DeviceSegment:
-    """Upload a segment's search structures to the device."""
-    num_docs_pad = max(128, _round_up(seg.num_docs, 128))
+    """Upload a segment's search structures to the device.
+
+    Doc padding is 1024 (the pallas row-sum TILE; a multiple of the 128
+    lane width everything else assumes)."""
+    num_docs_pad = max(1024, _round_up(seg.num_docs, 1024))
     fields = {
         name: load_field(fd, num_docs_pad, device)
         for name, fd in seg.fields.items()

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+LANE = 128  # docs per VPU-lane tile
 HEAVY_FRACTION = 16  # heavy iff df >= num_docs_pad / HEAVY_FRACTION
 HEAVY_MIN_DF = 256
 
@@ -143,6 +144,35 @@ def row_score_topk_pure_or(
         )
 
     return jax.vmap(one_query)(hidx, lidx)
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def row_score_topk_pure_or_pallas(
+    heavy_bank, light_bank, live, hidx, lidx, *, k: int, interpret: bool
+):
+    """Pure-OR scoring with the pallas row-sum kernel (VMEM accumulator:
+    rows stream from HBM exactly once). Bit-identical to the XLA scan
+    (sequential f32 adds in clause order)."""
+    from diagon_tpu.ops.pallas.row_sum import pallas_row_sum
+
+    scores = pallas_row_sum(
+        heavy_bank, light_bank, hidx, lidx, interpret=interpret
+    )  # [Q, D]
+
+    def finish(scores_q):
+        mask = (scores_q > 0) & (live > 0)
+        final = jnp.where(mask, scores_q, jnp.float32(-1.0))
+        top_scores, top_docs = exact_topk(final, k)
+        hits = jnp.sum(mask.astype(jnp.int32))
+        return jnp.concatenate(
+            [
+                top_scores,
+                top_docs.astype(jnp.float32),
+                hits[None].astype(jnp.float32),
+            ]
+        )
+
+    return jax.vmap(finish)(scores)
 
 
 class RowFieldIndex:
@@ -475,10 +505,20 @@ class RowExecutor:
             bool_params,
         )
 
+    # pallas is the default pure-OR path; set False to force the XLA scan
+    use_pallas: bool = True
+
     def dispatch(self, plans: Sequence[RowPlan], k: int):
+        import jax
+
         args = self._args(plans)
         if all(p.pure_or for p in plans):
             (heavy, light, live, hidx, lidx, *_rest) = args
+            if self.use_pallas and heavy.shape[1] % 1024 == 0:
+                return row_score_topk_pure_or_pallas(
+                    heavy, light, live, hidx, lidx, k=k,
+                    interpret=jax.default_backend() == "cpu",
+                )
             return row_score_topk_pure_or(
                 heavy, light, live, hidx, lidx, k=k
             )

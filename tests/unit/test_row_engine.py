@@ -121,3 +121,31 @@ def test_dispatch_collect_matches_search_batch():
         assert [sd.score for sd in w.score_docs] == [
             sd.score for sd in g.score_docs
         ]
+
+
+def test_exact_topk_two_stage():
+    """The large-D two-stage path must equal plain top_k semantics
+    (score desc, docid asc) including adversarial ties."""
+    import jax.numpy as jnp
+
+    from diagon_tpu.search.row_engine import exact_topk
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    D = 128 * 512  # 65536 > 32768 -> two-stage path
+    k = 10
+
+    def reference(final, k):
+        order = np.lexsort((np.arange(len(final)), -final))[:k]
+        return final[order], order
+
+    # random scores with heavy ties
+    for trial in range(3):
+        final = rng.choice(
+            np.asarray([-1.0, 0.5, 1.0, 2.0, 2.0, 3.0], np.float32), size=D
+        ).astype(np.float32)
+        # cluster the global max in one tile to stress the tile selection
+        final[1000:1010] = 9.0
+        vs, ds = exact_topk(jnp.asarray(final), k)
+        ref_v, ref_d = reference(final, k)
+        np.testing.assert_array_equal(np.asarray(vs), ref_v)
+        np.testing.assert_array_equal(np.asarray(ds), ref_d)
