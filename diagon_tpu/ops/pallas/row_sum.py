@@ -27,7 +27,7 @@ TILE = 1024
 
 
 def _kernel(hidx_ref, lidx_ref, heavy_blk, light_blk, out_ref):
-    t = pl.program_id(1)
+    t = pl.program_id(2)
     q = pl.program_id(0)
     hi = hidx_ref[q, t]
     row = jnp.where(hi >= 0, heavy_blk[...], light_blk[...])
@@ -57,36 +57,45 @@ def pallas_row_sum(
     G = D // TILE
 
     # TPU blocks need trailing dims (sublane, lane) = multiples of (8, 128);
-    # one block = one FULL row viewed as (D/128, 128) so each grid step is
-    # one large contiguous DMA. The whole accumulator row lives in VMEM
-    # across the clause axis (t innermost revisits the same out block).
-    # VMEM budget: 3 rows = 12 B * D -> fine to ~1M docs per shard.
+    # one block = a large contiguous row CHUNK viewed as (CH, 128). Each
+    # grid step is one big DMA; the accumulator chunk lives in VMEM across
+    # the clause axis (t innermost revisits the same out block). Chunks cap
+    # VMEM at ~1 MB/block so double-buffered in+out blocks fit at any D.
     S = D // 128
+    if S <= 2048:
+        CH = S
+    else:  # S is a multiple of 8 (D is a multiple of 1024)
+        CH = next(
+            c
+            for c in (2048, 1024, 512, 256, 128, 64, 32, 16, 8)
+            if S % c == 0
+        )
+    n_chunks = S // CH
     hb = heavy_bank.reshape(H, S, 128)
     lb = light_bank.reshape(L, S, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # hidx, lidx
-        grid=(Q, Tq),
+        grid=(Q, n_chunks, Tq),
         in_specs=[
             pl.BlockSpec(
-                (1, S, 128),
-                lambda q, t, hidx_ref, lidx_ref: (
+                (1, CH, 128),
+                lambda q, c, t, hidx_ref, lidx_ref: (
                     jnp.maximum(hidx_ref[q, t], 0),
-                    0,
+                    c,
                     0,
                 ),
             ),
             pl.BlockSpec(
-                (1, S, 128),
-                lambda q, t, hidx_ref, lidx_ref: (
+                (1, CH, 128),
+                lambda q, c, t, hidx_ref, lidx_ref: (
                     jnp.maximum(lidx_ref[q, t], 0),
-                    0,
+                    c,
                     0,
                 ),
             ),
         ],
-        out_specs=pl.BlockSpec((1, S, 128), lambda q, t, *_: (q, 0, 0)),
+        out_specs=pl.BlockSpec((1, CH, 128), lambda q, c, t, *_: (q, c, 0)),
     )
     out = pl.pallas_call(
         _kernel,
@@ -94,7 +103,7 @@ def pallas_row_sum(
         out_shape=jax.ShapeDtypeStruct((Q, S, 128), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(hidx, lidx, hb, lb)
     return out.reshape(Q, D)

@@ -1,0 +1,81 @@
+"""Performance-guard tests (reference BM25PerformanceGuard.cpp /
+FSTPerformanceGuard.cpp pattern: regression thresholds compiled into the
+suite). Thresholds are ~5x looser than measured so only order-of-magnitude
+regressions (an accidental per-posting Python loop, a quadratic merge)
+trip them.
+"""
+
+import time
+
+import numpy as np
+
+from diagon_tpu.bench.synthetic import corpus_documents
+from diagon_tpu.index.memory_index import MemoryIndex
+from diagon_tpu.index.segment import flush_memory_index
+
+
+def test_ingest_throughput_guard():
+    docs = list(corpus_documents(num_docs=2000))
+    mem = MemoryIndex()
+    t0 = time.perf_counter()
+    for d in docs:
+        mem.add_document(d)
+    rate = 2000 / (time.perf_counter() - t0)
+    # measured ~15k docs/s on one core; guard at 1.5k
+    assert rate > 1500, f"ingest regressed: {rate:.0f} docs/s"
+
+
+def test_flush_throughput_guard():
+    docs = list(corpus_documents(num_docs=2000))
+    mem = MemoryIndex()
+    for d in docs:
+        mem.add_document(d)
+    t0 = time.perf_counter()
+    seg = flush_memory_index(mem, "_g")
+    dt = time.perf_counter() - t0
+    # measured ~0.4s at 2k docs; guard at 5x
+    assert dt < 2.5, f"flush regressed: {dt:.2f}s for 2k docs"
+    assert seg.num_docs == 2000
+
+
+def test_vectorized_packer_guard():
+    """The CSR packer must stay vectorized (no per-posting Python loop)."""
+    from diagon_tpu.codecs.postings import build_packed_postings_csr
+
+    rng = np.random.Generator(np.random.PCG64(1))
+    T, NE = 2000, 400_000
+    df = np.full(T, NE // T)
+    entry_start = np.zeros(T + 1, np.int64)
+    np.cumsum(df, out=entry_start[1:])
+    docs = np.concatenate(
+        [np.sort(rng.choice(100_000, NE // T, replace=False)) for _ in range(T)]
+    )
+    freqs = rng.integers(1, 30, NE)
+    terms = [f"t{i:05d}" for i in range(T)]
+    t0 = time.perf_counter()
+    pp = build_packed_postings_csr(terms, entry_start, docs, freqs)
+    dt = time.perf_counter() - t0
+    assert pp.sum_doc_freq == NE
+    # measured ~0.15s; guard at 2s (0.4M postings)
+    assert dt < 2.0, f"CSR packer regressed: {dt:.2f}s for {NE} postings"
+
+
+def test_decode_all_guard():
+    from diagon_tpu.codecs.postings import (
+        build_packed_postings_csr,
+        decode_all_numpy,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(2))
+    NE = 500_000
+    docs = np.sort(rng.choice(2_000_000, NE, replace=False))
+    freqs = rng.integers(1, 20, NE)
+    pp = build_packed_postings_csr(
+        ["one"], np.asarray([0, NE], np.int64), docs, freqs
+    )
+    t0 = time.perf_counter()
+    d, f = decode_all_numpy(pp)
+    dt = time.perf_counter() - t0
+    np.testing.assert_array_equal(d, docs)
+    np.testing.assert_array_equal(f, freqs)
+    assert dt < 1.0, f"decode_all regressed: {dt:.2f}s for {NE} postings"
