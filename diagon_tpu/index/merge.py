@@ -20,7 +20,6 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from diagon_tpu.codecs.postings import decode_block_numpy
-from diagon_tpu.document.document import DocValuesType
 from diagon_tpu.index.segment import (
     DocValuesData,
     PointsData,

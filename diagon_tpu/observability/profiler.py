@@ -12,7 +12,7 @@ from __future__ import annotations
 import contextlib
 import threading
 import time
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from typing import Dict
 
 

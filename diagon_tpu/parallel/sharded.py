@@ -22,7 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from diagon_tpu.index.segment import SegmentData
 from diagon_tpu.search.bm25 import BM25Similarity
-from diagon_tpu.search.engine import TermPlan, make_tf_table, unfuse_topk
+from diagon_tpu.search.engine import make_tf_table
 from diagon_tpu.search.query import Occur, Query, TermQuery
 from diagon_tpu.search.row_engine import RowFieldIndex, _bucket_tq
 from diagon_tpu.search.topdocs import ScoreDoc, TopDocs
