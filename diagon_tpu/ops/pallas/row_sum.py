@@ -59,16 +59,13 @@ def pallas_row_sum(
     # grid step is one big DMA; the accumulator chunk lives in VMEM across
     # the clause axis (t innermost revisits the same out block). Chunks cap
     # VMEM at ~1 MB/block so double-buffered in+out blocks fit at any D.
+    # Chunks need not divide S: Pallas cdiv-pads the boundary block (reads
+    # of the pad region are masked downstream by the live mask; OOB writes
+    # are dropped). S is a multiple of 8 (D is a multiple of 1024), so CH
+    # always satisfies the (8, 128) trailing-dims rule.
     S = D // 128
-    if S <= 2048:
-        CH = S
-    else:  # S is a multiple of 8 (D is a multiple of 1024)
-        CH = next(
-            c
-            for c in (2048, 1024, 512, 256, 128, 64, 32, 16, 8)
-            if S % c == 0
-        )
-    n_chunks = S // CH
+    CH = min(S, 2048)
+    n_chunks = -(-S // CH)
     hb = heavy_bank.reshape(H, S, 128)
     lb = light_bank.reshape(L, S, 128)
 
