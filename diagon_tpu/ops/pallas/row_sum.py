@@ -39,6 +39,93 @@ def _kernel(hidx_ref, lidx_ref, heavy_blk, light_blk, out_ref):
         out_ref[...] = out_ref[...] + row
 
 
+def _kernel_boolean(
+    hidx_ref, lidx_ref, flags_ref, heavy_blk, light_blk,
+    s_ref, r_ref, o_ref, n_ref,
+):
+    """General boolean step: scores + MUST/SHOULD/MUST_NOT indicator counts,
+    all four accumulator chunks resident in VMEM across the clause axis.
+    flags bit0=scoring bit1=required bit2=should bit3=negated."""
+    q = pl.program_id(0)
+    t = pl.program_id(2)
+    hi = hidx_ref[q, t]
+    fl = flags_ref[q, t]
+    row = jnp.where(hi >= 0, heavy_blk[...], light_blk[...])
+    present = jnp.where(row > 0, jnp.float32(1.0), jnp.float32(0.0))
+    zero = jnp.zeros_like(row)
+    sc = jnp.where((fl & 1) != 0, row, zero)
+    rc = jnp.where((fl & 2) != 0, present, zero)
+    oc = jnp.where((fl & 4) != 0, present, zero)
+    nc = jnp.where((fl & 8) != 0, present, zero)
+
+    @pl.when(t == 0)
+    def _():
+        s_ref[...] = sc
+        r_ref[...] = rc
+        o_ref[...] = oc
+        n_ref[...] = nc
+
+    @pl.when(t > 0)
+    def _():
+        s_ref[...] = s_ref[...] + sc
+        r_ref[...] = r_ref[...] + rc
+        o_ref[...] = o_ref[...] + oc
+        n_ref[...] = n_ref[...] + nc
+
+
+def pallas_row_boolean(
+    heavy_bank: jnp.ndarray,  # f32 [H, D]
+    light_bank: jnp.ndarray,  # f32 [L, D]
+    hidx: jnp.ndarray,  # int32 [Q, Tq]
+    lidx: jnp.ndarray,  # int32 [Q, Tq]
+    flags: jnp.ndarray,  # int32 [Q, Tq] bit0 scoring/1 req/2 sho/3 neg
+    *,
+    interpret: bool = False,
+):
+    """(scores, req_cnt, sho_cnt, neg_cnt) each f32 [Q, D]."""
+    Q, Tq = hidx.shape
+    H, D = heavy_bank.shape
+    L = light_bank.shape[0]
+    assert D % TILE == 0
+    S = D // 128
+    # 6 chunks live in VMEM (2 in + 4 accumulators): keep each <= 0.5 MB
+    CH = min(S, 1024)
+    n_chunks = -(-S // CH)
+    hb = heavy_bank.reshape(H, S, 128)
+    lb = light_bank.reshape(L, S, 128)
+
+    def hmap(q, c, t, hidx_ref, lidx_ref, flags_ref):
+        return (jnp.maximum(hidx_ref[q, t], 0), c, 0)
+
+    def lmap(q, c, t, hidx_ref, lidx_ref, flags_ref):
+        return (jnp.maximum(lidx_ref[q, t], 0), c, 0)
+
+    def omap(q, c, t, *_):
+        return (q, c, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(Q, n_chunks, Tq),
+        in_specs=[
+            pl.BlockSpec((1, CH, 128), hmap),
+            pl.BlockSpec((1, CH, 128), lmap),
+        ],
+        out_specs=tuple(pl.BlockSpec((1, CH, 128), omap) for _ in range(4)),
+    )
+    outs = pl.pallas_call(
+        _kernel_boolean,
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((Q, S, 128), jnp.float32) for _ in range(4)
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(hidx, lidx, flags, hb, lb)
+    return tuple(o.reshape(Q, D) for o in outs)
+
+
 def pallas_row_sum(
     heavy_bank: jnp.ndarray,  # f32 [H, D]
     light_bank: jnp.ndarray,  # f32 [L, D] (row 0 zero)

@@ -147,6 +147,48 @@ def row_score_topk_pure_or(
 
 
 @partial(jax.jit, static_argnames=("k", "interpret"))
+def row_score_topk_pallas(
+    heavy_bank, light_bank, live, hidx, lidx, scoring, req, sho, neg,
+    bool_params, *, k: int, interpret: bool
+):
+    """General boolean scoring via the pallas 4-accumulator kernel.
+    Bit-identical to ``row_score_topk`` (same values, same add order)."""
+    from diagon_tpu.ops.pallas.row_sum import pallas_row_boolean
+
+    flags = (
+        scoring.astype(jnp.int32)
+        + 2 * req.astype(jnp.int32)
+        + 4 * sho.astype(jnp.int32)
+        + 8 * neg.astype(jnp.int32)
+    )
+    scores, req_c, sho_c, neg_c = pallas_row_boolean(
+        heavy_bank, light_bank, hidx, lidx, flags, interpret=interpret
+    )
+
+    def finish(scores_q, req_q, sho_q, neg_q, params_q):
+        num_required, min_should = params_q[0], params_q[1]
+        mask = (
+            (req_q == num_required)
+            & (sho_q >= min_should)
+            & (neg_q == 0)
+            & ((req_q + sho_q) > 0)
+            & (live > 0)
+        )
+        final = jnp.where(mask, scores_q, jnp.float32(-1.0))
+        top_scores, top_docs = exact_topk(final, k)
+        hits = jnp.sum(mask.astype(jnp.int32))
+        return jnp.concatenate(
+            [
+                top_scores,
+                top_docs.astype(jnp.float32),
+                hits[None].astype(jnp.float32),
+            ]
+        )
+
+    return jax.vmap(finish)(scores, req_c, sho_c, neg_c, bool_params)
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
 def row_score_topk_pure_or_pallas(
     heavy_bank, light_bank, live, hidx, lidx, *, k: int, interpret: bool
 ):
@@ -521,6 +563,10 @@ class RowExecutor:
                 )
             return row_score_topk_pure_or(
                 heavy, light, live, hidx, lidx, k=k
+            )
+        if self.use_pallas and args[0].shape[1] % 1024 == 0:
+            return row_score_topk_pallas(
+                *args, k=k, interpret=jax.default_backend() == "cpu"
             )
         return row_score_topk(*args, k=k)
 
