@@ -46,13 +46,19 @@ def _bucket(n: int, minimum: int = 16) -> int:
 
 @dataclass
 class TermPlan:
-    """Scored/flagged posting-term for one segment."""
+    """Scored/flagged clause for one segment.
+
+    Either a posting term (``term_id`` >= 0) or a precomputed host row
+    (``host_row`` set: used for range / match-all clauses, whose dense
+    indicator-score row is built from doc values or points on the host).
+    """
 
     term_id: int
     weight: float  # idf * boost; 0.0 for FILTER / MUST_NOT clauses
     required: bool = False  # MUST or FILTER
     should: bool = False
     negated: bool = False
+    host_row: object = None  # optional np.ndarray [num_docs_pad] f32
 
 
 @dataclass

@@ -33,6 +33,50 @@ from diagon_tpu.search.query import (
 from diagon_tpu.search.topdocs import ScoreDoc, TopDocs
 
 
+def numeric_range_mask(seg: SegmentData, field: str, lower, upper) -> np.ndarray:
+    """bool [num_docs]: docs with a NUMERIC/SORTED_NUMERIC doc value in
+    [lower, upper] (inclusive; None = open). Shared by oracle + device."""
+    mask = np.zeros(seg.num_docs, dtype=bool)
+    dv = seg.doc_values.get(field)
+    if dv is None:
+        return mask
+    vals = dv.values
+    ok = np.ones(len(vals), dtype=bool)
+    if lower is not None:
+        ok &= vals >= lower
+    if upper is not None:
+        ok &= vals <= upper
+    if dv.value_start is None:
+        mask[dv.docs[ok]] = True
+    else:
+        # multi-valued CSR: a doc matches if ANY of its values matches
+        starts = dv.value_start
+        if len(dv.docs):
+            doc_ok = np.add.reduceat(ok.astype(np.int64), starts[:-1]) > 0
+            mask[dv.docs[doc_ok]] = True
+    return mask
+
+
+def point_range_mask(seg: SegmentData, field: str, lower, upper) -> np.ndarray:
+    """bool [num_docs]: docs with a 1-D point value in [lower, upper]."""
+    mask = np.zeros(seg.num_docs, dtype=bool)
+    pt = seg.points.get(field)
+    if pt is None:
+        return mask
+    lo = (
+        np.searchsorted(pt.values, lower, side="left")
+        if lower is not None
+        else 0
+    )
+    hi = (
+        np.searchsorted(pt.values, upper, side="right")
+        if upper is not None
+        else len(pt.values)
+    )
+    mask[pt.docs[lo:hi]] = True
+    return mask
+
+
 class OracleSearcher:
     """Exhaustive scalar searcher over a list of segments."""
 
@@ -153,33 +197,11 @@ class OracleSearcher:
             return np.full(n, 1.0, np.float32), np.ones(n, bool)
 
         if isinstance(query, NumericRangeQuery):
-            mask = np.zeros(n, dtype=bool)
-            dv = seg.doc_values.get(query.field)
-            if dv is not None:
-                vals = dv.values
-                ok = np.ones(len(vals), dtype=bool)
-                if query.lower is not None:
-                    ok &= vals >= query.lower
-                if query.upper is not None:
-                    ok &= vals <= query.upper
-                mask[dv.docs[ok]] = True
+            mask = numeric_range_mask(seg, query.field, query.lower, query.upper)
             return mask.astype(np.float32), mask
 
         if isinstance(query, PointRangeQuery):
-            mask = np.zeros(n, dtype=bool)
-            pt = seg.points.get(query.field)
-            if pt is not None:
-                lo = (
-                    np.searchsorted(pt.values, query.lower, side="left")
-                    if query.lower is not None
-                    else 0
-                )
-                hi = (
-                    np.searchsorted(pt.values, query.upper, side="right")
-                    if query.upper is not None
-                    else len(pt.values)
-                )
-                mask[pt.docs[lo:hi]] = True
+            mask = point_range_mask(seg, query.field, query.lower, query.upper)
             return mask.astype(np.float32), mask
 
         raise TypeError(f"unsupported query type: {type(query)}")

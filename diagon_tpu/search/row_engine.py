@@ -442,12 +442,20 @@ class RowExecutor:
         for i, tp in enumerate(term_plans):
             if tp.required:
                 num_required += 1
-            present = tp.term_id >= 0
+            present = tp.term_id >= 0 or tp.host_row is not None
             scoring[i] = (not tp.negated) and tp.weight != 0.0
             req[i] = 1.0 if (tp.required and present) else 0.0
             sho[i] = 1.0 if (tp.should and present) else 0.0
             neg[i] = 1.0 if (tp.negated and present) else 0.0
             if not present:
+                continue
+            if tp.host_row is not None:
+                row = np.zeros(idx.num_docs_pad, dtype=np.float32)
+                row[: len(tp.host_row)] = np.asarray(
+                    tp.host_row, dtype=np.float32
+                )
+                light_rows.append(row)
+                lidx[i] = len(light_rows)
                 continue
             hrow = (
                 idx.heavy_row_of_term[tp.term_id]

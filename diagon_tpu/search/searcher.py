@@ -160,27 +160,36 @@ class IndexSearcher:
         return v
 
     # -- plan construction ---------------------------------------------------
+    @staticmethod
+    def _device_rangeable(q: Query) -> bool:
+        """Non-term clause types executable as host indicator rows."""
+        return isinstance(
+            q, (NumericRangeQuery, PointRangeQuery, MatchAllDocsQuery)
+        )
+
     def _term_clauses(
         self, query: Query
-    ) -> Optional[Tuple[str, List[Tuple[TermQuery, Occur]], int]]:
-        """Flatten into (field, [(TermQuery, occur)], min_should) if the
-        query is a term/boolean-of-terms query on a single field."""
+    ) -> Optional[Tuple[str, List[Tuple[Query, Occur]], int]]:
+        """Flatten into (field, [(clause, occur)], min_should) if the query
+        is a term/boolean query on a single text field (range / match-all
+        clauses allowed — they become host indicator rows)."""
         if isinstance(query, TermQuery):
             return query.term.field, [(query, Occur.SHOULD)], 1
         if not isinstance(query, BooleanQuery):
             return None
-        clauses: List[Tuple[TermQuery, Occur]] = []
+        clauses: List[Tuple[Query, Occur]] = []
         field = None
         for c in query.clauses:
-            if not isinstance(c.query, TermQuery):
-                return None
-            if field is None:
-                field = c.query.term.field
-            elif field != c.query.term.field:
+            if isinstance(c.query, TermQuery):
+                if field is None:
+                    field = c.query.term.field
+                elif field != c.query.term.field:
+                    return None
+            elif not self._device_rangeable(c.query):
                 return None
             clauses.append((c.query, c.occur))
         if field is None:
-            return None
+            return None  # pure range/match-all boolean: host path
         min_should = query.minimum_number_should_match
         has_required = any(
             o in (Occur.MUST, Occur.FILTER) for _, o in clauses
@@ -192,14 +201,47 @@ class IndexSearcher:
             return None  # pure MUST_NOT: matches nothing; handled by caller
         return field, clauses, min_should
 
+    @staticmethod
+    def _clause_key(q: Query, o: Occur) -> tuple:
+        if isinstance(q, TermQuery):
+            return (o.value, "T", q.term.field, q.term.text, float(q.boost))
+        return (o.value, "Q", repr(q), "", 0.0)
+
+    def _clause_host_row(self, seg, q: Query) -> np.ndarray:
+        """Indicator-score row for a range / match-all clause (float32,
+        the oracle's exact values: 1.0 at matching docs)."""
+        from diagon_tpu.search.oracle import (
+            numeric_range_mask,
+            point_range_mask,
+        )
+
+        if isinstance(q, MatchAllDocsQuery):
+            return np.ones(seg.num_docs, dtype=np.float32)
+        if isinstance(q, NumericRangeQuery):
+            return numeric_range_mask(seg, q.field, q.lower, q.upper).astype(
+                np.float32
+            )
+        if isinstance(q, PointRangeQuery):
+            return point_range_mask(seg, q.field, q.lower, q.upper).astype(
+                np.float32
+            )
+        raise TypeError(f"no host row for {q!r}")
+
     def _clause_term_plans(
-        self, field: str, clauses: List[Tuple[TermQuery, Occur]]
+        self, field: str, clauses: List[Tuple[Query, Occur]]
     ) -> List[List[TermPlan]]:
         """Per-segment TermPlan lists in oracle accumulation order
-        (MUST sorted, FILTER sorted, SHOULD sorted, MUST_NOT sorted)."""
+        (MUST sorted, FILTER sorted, SHOULD sorted, MUST_NOT sorted; the
+        sort key matches OracleSearcher._score_boolean: non-term clauses
+        sort first, stably)."""
 
         def _key(item):
-            return item[0].term.text
+            q = item[0]
+            return (
+                (q.term.field, q.term.text)
+                if isinstance(q, TermQuery)
+                else ("", "")
+            )
 
         must = sorted([c for c in clauses if c[1] == Occur.MUST], key=_key)
         should = sorted([c for c in clauses if c[1] == Occur.SHOULD], key=_key)
@@ -208,7 +250,11 @@ class IndexSearcher:
             [c for c in clauses if c[1] == Occur.MUST_NOT], key=_key
         )
         weights = {
-            id(q): float(self._idf(field, q.term.text, q.boost))
+            id(q): (
+                float(self._idf(field, q.term.text, q.boost))
+                if isinstance(q, TermQuery)
+                else 1.0
+            )
             for q, _ in must + should
         }
         out = []
@@ -217,19 +263,26 @@ class IndexSearcher:
             if f is None:
                 out.append(None)
                 continue
+
+            def plan(q, weight, **flags) -> TermPlan:
+                if isinstance(q, TermQuery):
+                    return TermPlan(f.term_id(q.term.text), weight, **flags)
+                return TermPlan(
+                    -1,
+                    weight,
+                    host_row=self._clause_host_row(ds.source, q),
+                    **flags,
+                )
+
             tps: List[TermPlan] = []
             for q, _ in must:
-                tps.append(
-                    TermPlan(f.term_id(q.term.text), weights[id(q)], required=True)
-                )
+                tps.append(plan(q, weights[id(q)], required=True))
             for q, _ in filt:
-                tps.append(TermPlan(f.term_id(q.term.text), 0.0, required=True))
+                tps.append(plan(q, 0.0, required=True))
             for q, _ in should:
-                tps.append(
-                    TermPlan(f.term_id(q.term.text), weights[id(q)], should=True)
-                )
+                tps.append(plan(q, weights[id(q)], should=True))
             for q, _ in must_not:
-                tps.append(TermPlan(f.term_id(q.term.text), 0.0, negated=True))
+                tps.append(plan(q, 0.0, negated=True))
             out.append(tps)
         return out
 
@@ -258,7 +311,7 @@ class IndexSearcher:
         cache_key = (
             "row",
             field,
-            tuple(sorted((o.value, q.term.text, q.boost) for q, o in clauses)),
+            tuple(sorted(self._clause_key(q, o) for q, o in clauses)),
             min_should,
         )
         cached = self._plan_cache.get(cache_key)
@@ -283,9 +336,7 @@ class IndexSearcher:
     ) -> List[Optional[SegmentPlan]]:
         cache_key = (
             field,
-            tuple(
-                sorted((o.value, q.term.text, q.boost) for q, o in clauses)
-            ),
+            tuple(sorted(self._clause_key(q, o) for q, o in clauses)),
             min_should,
         )
         cached = self._plan_cache.get(cache_key)
@@ -352,6 +403,10 @@ class IndexSearcher:
                 te is not None or ctx.executors[si] is None
                 for si, te in enumerate(ctx.row_executors)
             )
+            if not use_row and any(
+                not isinstance(q, TermQuery) for q, _ in clauses
+            ):
+                return self._fallback_search(query, k)
             with ProfileScope("plan"):
                 if use_row:
                     plans = self._row_plans(field, clauses, min_should)
@@ -401,6 +456,12 @@ class IndexSearcher:
             te is not None or ctx.executors[si] is None
             for si, te in enumerate(ctx.row_executors)
         )
+        if not use_row and any(
+            not isinstance(q, TermQuery)
+            for _, cl, _ms in flat
+            for q, _o in cl
+        ):
+            return [self.search(q, k) for q in queries]
 
         per_seg_plans = []
         for f, clauses, min_should in flat:
@@ -507,6 +568,10 @@ class IndexSearcher:
                 te is not None or ctx.executors[si] is None
                 for si, te in enumerate(ctx.row_executors)
             )
+            if not use_row and any(
+                not isinstance(q, TermQuery) for q, _ in clauses
+            ):
+                return self._fallback_count(query)
             if use_row:
                 plans = self._row_plans(field, clauses, min_should)
             else:
