@@ -166,7 +166,7 @@ def main():
         np.asarray(parts[-1][2][0, 0])
         return (time.perf_counter() - t0) / n_batches
 
-    trials = [device_trial(64) for _ in range(max(3, args.iters // 3))]
+    trials = [device_trial(64) for _ in range(max(6, args.iters // 2))]
     per_batch = float(min(trials))  # tunnel stalls only ever add time
     qps = Q / per_batch
     log(f"or20 device throughput: Q={Q} per_batch={per_batch * 1e3:.2f}ms "
