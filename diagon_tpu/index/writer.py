@@ -80,6 +80,7 @@ class IndexWriterConfig:
     merge_policy: MergePolicy = dc_field(default_factory=TieredMergePolicy)
     merge_scheduler: str = "concurrent"  # concurrent | serial
     verify_checksums_on_open: bool = False
+    codec: str = "DiagonTPU1"  # registered format name (codecs/registry.py)
 
 
 class IndexWriter:
@@ -200,7 +201,9 @@ class IndexWriter:
             return None
         seg = flush_memory_index(self._mem, self._next_segment_name())
         self._mem = MemoryIndex()
-        files = write_segment(self.directory, seg)
+        from diagon_tpu.codecs.registry import for_name
+
+        files = for_name(self.config.codec).write_segment(self.directory, seg)
         self._segments.append(seg)
         self._infos.segments.append(
             SegmentInfo(name=seg.name, num_docs=seg.num_docs, files=files)

@@ -560,6 +560,14 @@ class IndexSearcher:
         return [merge_top_docs(parts, k) for parts in results]
 
     def count(self, query: Query) -> int:
+        # O(1) fast paths (reference Weight::count, IndexSearcher.cpp:128):
+        # with no deletes, a term's count is its docFreq and match-all is
+        # maxDoc — no device round trip.
+        if all(ds.live_docs is None for ds in self.device_segments):
+            if isinstance(query, TermQuery):
+                return self.term_doc_freq(query.term.field, query.term.text)
+            if isinstance(query, MatchAllDocsQuery):
+                return self.max_doc
         tc = self._term_clauses(query)
         if tc is not None:
             field, clauses, min_should = tc

@@ -158,6 +158,7 @@ def write_segment(directory, seg: SegmentData) -> List[str]:
     deletes). Returns the file names written."""
     meta = {
         "format": 1,
+        "codec": "DiagonTPU1",
         "name": seg.name,
         "num_docs": seg.num_docs,
         "fields": {},
@@ -247,6 +248,12 @@ def read_segment(directory, name: str, verify_checksums: bool = False) -> Segmen
     """Load a segment from ``<name>.bnd`` (+ optional ``.liv``), zero-copy."""
     r = ArrayBundleReader(directory.open_mmap(f"{name}.bnd"), verify_checksums)
     meta = r.meta
+    codec = meta.get("codec", "DiagonTPU1")
+    if codec != "DiagonTPU1":
+        # dispatch through the registry for future formats
+        from diagon_tpu.codecs.registry import for_name
+
+        return for_name(codec).read_segment(directory, name, verify_checksums)
     seg = SegmentData(name=meta["name"], num_docs=meta["num_docs"])
 
     for fname, fmeta in meta["fields"].items():

@@ -158,3 +158,31 @@ def test_search_on_reloaded_segment(tmp_path):
     got = read_segment(d, seg.name)
     td = OracleSearcher([got]).search(TermQuery("body", "oil"), 10)
     assert td.doc_ids() == [0]
+
+
+def test_codec_registry():
+    from diagon_tpu.codecs.registry import (
+        Codec,
+        available_codecs,
+        for_name,
+    )
+
+    assert "DiagonTPU1" in available_codecs()
+    c = for_name("DiagonTPU1")
+    assert c.name == "DiagonTPU1"
+    try:
+        for_name("NoSuchCodec")
+        assert False
+    except ValueError:
+        pass
+
+    # bundles record their codec
+    from diagon_tpu.store import RAMDirectory, write_segment
+    from diagon_tpu.store.format import ArrayBundleReader
+    import numpy as np
+
+    d = RAMDirectory()
+    seg = _rich_segment()
+    write_segment(d, seg)
+    r = ArrayBundleReader(d.open_mmap(f"{seg.name}.bnd"))
+    assert r.meta["codec"] == "DiagonTPU1"
