@@ -112,17 +112,34 @@ class SparseSearcher:
         self.pp = pp
         self.num_docs_pad = num_docs_pad
 
-    def _plan(self, query: SparseVector, pad_to: int = 0):
-        tps = []
+    def _plan(self, query: SparseVector, pad_to: int = 0,
+              alpha: float = 1.0):
+        """alpha < 1 enables QBlock-style gain selection (reference
+        ``QBlockIndex.h:20-48``): clauses sort by their score upper bound
+        (q_w * scale * 255 = q_w * max stored weight) and only the prefix
+        covering ``alpha`` of the total upper-bound mass is scored —
+        a documented approximation on top of the quantization."""
+        cands = []
         for t, w in zip(query.ids, query.values):
             key = str(int(t))
             tid = self.pp.term_id(key)
             if tid < 0:
                 continue
-            weight = np.float32(
-                np.float32(w) * np.float32(self.index.scales[key])
-            )
-            tps.append(TermPlan(tid, float(weight), should=True))
+            scale = np.float32(self.index.scales[key])
+            weight = np.float32(np.float32(w) * scale)
+            ub = float(weight) * NUM_BINS  # max contribution of this clause
+            cands.append((ub, tid, float(weight)))
+        if alpha < 1.0 and cands:
+            cands.sort(key=lambda c: -c[0])
+            total = sum(c[0] for c in cands)
+            acc, cut = 0.0, len(cands)
+            for i, c in enumerate(cands):
+                acc += c[0]
+                if acc >= alpha * total:
+                    cut = i + 1
+                    break
+            cands = cands[:cut]
+        tps = [TermPlan(tid, w, should=True) for _, tid, w in cands]
         while len(tps) < pad_to:
             tps.append(TermPlan(-1, 0.0, should=True))
         if not tps:
@@ -131,9 +148,10 @@ class SparseSearcher:
             tps, min_should=1, idf_of_tid=lambda tid: np.float32(np.nan)
         )
 
-    def search(self, query: SparseVector, k: int = 10):
-        """Top-k docs by quantized dot product -> (scores, docids, hits)."""
-        plan = self._plan(query)
+    def search(self, query: SparseVector, k: int = 10, alpha: float = 1.0):
+        """Top-k docs by quantized dot product -> (scores, docids, hits).
+        ``alpha`` < 1 prunes low-gain clauses (QBlock-style, approximate)."""
+        plan = self._plan(query, alpha=alpha)
         if plan is None:
             return np.zeros(0, np.float32), np.zeros(0, np.int32), 0
         scores, docs, hits = self.executor.top_k(

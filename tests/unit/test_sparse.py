@@ -99,3 +99,22 @@ def test_search_batch_matches_single():
         assert bh == sh
         np.testing.assert_array_equal(bd, sd)
         np.testing.assert_array_equal(bs, ss)
+
+
+def test_alpha_clause_pruning():
+    """alpha<1 prunes low-gain clauses; ranking stays close to exact."""
+    rng = np.random.Generator(np.random.PCG64(21))
+    vecs = _random_vectors(rng, 400)
+    idx = SparseIndex.build(vecs)
+    searcher = SparseSearcher(idx)
+    q = _random_vectors(np.random.Generator(np.random.PCG64(22)), 1, nnz=25)[0]
+
+    full_s, full_d, _ = searcher.search(q, 10, alpha=1.0)
+    part_s, part_d, _ = searcher.search(q, 10, alpha=0.8)
+    # pruned plan drops clauses -> scores can only stay equal or drop
+    assert len(part_d) == len(full_d)
+    overlap = len(set(int(d) for d in full_d) & set(int(d) for d in part_d))
+    assert overlap >= 7
+    # alpha=1.0 path unchanged vs oracle
+    os_, od, _ = searcher.search_oracle(q, 10)
+    np.testing.assert_array_equal(full_d, od)
