@@ -117,6 +117,10 @@ class IndexWriter:
         self._mem = MemoryIndex()
         self._pending_delete_files: Set[str] = set()
         self._dirty_live_docs: Set[str] = set()
+        # segments currently in a background merge (the reference's
+        # mergingSegments_ guard, IndexWriter.h:356-378): without it two
+        # overlapping merge specs would duplicate documents
+        self._merging: Set[str] = set()
 
     # ------------------------------------------------------------------
     def _ensure_open(self):
@@ -217,13 +221,17 @@ class IndexWriter:
             self._flush_buffer()
 
     def commit(self) -> int:
-        """Flush + atomic segments_N + fsync + cleanup (IndexWriter.h:237)."""
+        """Flush + atomic segments_N + fsync + cleanup (IndexWriter.h:237).
+
+        maybe_merge runs OUTSIDE the writer mutex: the scheduler joins the
+        previous merge thread, which itself needs the mutex to swap
+        segments — joining while holding it would deadlock."""
         with self._mutex:
             self._ensure_open()
             self._flush_buffer()
             gen = self._write_segments_file()
-            self.maybe_merge()
-            return gen
+        self.maybe_merge()
+        return gen
 
     def _write_segments_file(self) -> int:
         # refresh .liv files for segments with new deletes
@@ -274,12 +282,18 @@ class IndexWriter:
     # ------------------------------------------------------------------
     def maybe_merge(self) -> None:
         with self._mutex:
-            spec = self.config.merge_policy.find_merges(self._segments)
+            candidates = [
+                s for s in self._segments if s.name not in self._merging
+            ]
+            spec = self.config.merge_policy.find_merges(candidates)
+            for m in spec.merges:
+                self._merging.update(seg.name for seg in m.segments)
         if spec.merges:
             self._scheduler.execute(self, spec)
 
     def force_merge(self, max_num_segments: int = 1) -> None:
         """Synchronously merge down to <= max_num_segments."""
+        self._scheduler.wait()  # drain background merges first
         with self._mutex:
             self._ensure_open()
             self._flush_buffer()
@@ -307,13 +321,17 @@ class IndexWriter:
             return self._write_segments_file()
 
     def _do_merge(self, merge: OneMerge) -> None:
-        merged = SegmentMerger.merge(merge.segments, name=None or "_tmp")
+        merged = SegmentMerger.merge(merge.segments, name="_tmp")
+        src_names = {s.name for s in merge.segments}
         with self._mutex:
-            if self._closed:
+            if self._closed or not src_names.issubset(
+                {s.name for s in self._segments}
+            ):
+                # a source vanished (concurrent merge/rollback): abort
+                self._merging.difference_update(src_names)
                 return
             merged.name = self._next_segment_name()
             files = write_segment(self.directory, merged)
-            src_names = {s.name for s in merge.segments}
             # swap under the lock (IndexWriter.h:358-378 deferred deletes);
             # the merged segment takes the first source's position so global
             # docid order stays stable across forced-merge rounds.
@@ -344,14 +362,15 @@ class IndexWriter:
                 )
             self._segments = new_segments
             self._infos.segments = new_infos
+            self._merging.difference_update(src_names)
 
     # ------------------------------------------------------------------
     def rollback(self) -> None:
         """Discard uncommitted state; restore last commit (the reference
         acknowledges its rollback is partial — ours is complete)."""
+        self._scheduler.wait()  # outside the mutex (merge threads need it)
         with self._mutex:
             self._ensure_open()
-            self._scheduler.wait()
             self._mem = MemoryIndex()
             gen = find_latest_commit_gen(self.directory)
             self._infos = (
@@ -379,11 +398,11 @@ class IndexWriter:
             self._dirty_live_docs.clear()
 
     def close(self) -> None:
+        self._scheduler.wait()  # outside the mutex (merge threads need it)
         with self._mutex:
             if self._closed:
                 return
             try:
-                self._scheduler.wait()
                 if self.config.commit_on_close:
                     self._flush_buffer()
                     self._write_segments_file()
