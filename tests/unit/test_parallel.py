@@ -87,3 +87,41 @@ def test_sharded_boolean_batch(sharded):
         assert got.doc_ids() == want.doc_ids()
         for o, d in zip(want.score_docs, got.score_docs):
             assert o.score == d.score
+
+
+def test_sharded_respects_deletes(sharded):
+    shards, _, _ = sharded
+    import copy
+
+    from diagon_tpu.parallel.sharded import ShardedSearcher
+    from diagon_tpu.search.oracle import OracleSearcher
+
+    shards2 = [copy.deepcopy(s) for s in shards]
+    # delete a few docs matching 'oil' in shard 0 and 1
+    oracle0 = OracleSearcher(shards2)
+    td = oracle0.search(TermQuery("body", "oil"), 6)
+    bases = np.cumsum([0] + [s.num_docs for s in shards2])
+    for gd in td.doc_ids()[:4]:
+        si = int(np.searchsorted(bases, gd, side="right") - 1)
+        shards2[si].delete_document(gd - int(bases[si]))
+
+    ss = ShardedSearcher(shards2, "body")
+    oracle = OracleSearcher(shards2)
+    q = TermQuery("body", "oil")
+    want, got = oracle.search(q, 10), ss.search(q, 10)
+    assert got.total_hits == want.total_hits
+    assert got.doc_ids() == want.doc_ids()
+
+
+def test_sharded_min_should_match(sharded):
+    shards, ss, oracle = sharded
+    b = BooleanQuery.Builder()
+    for t in ["oil", "price", "trade", "w5"]:
+        b.add(TermQuery("body", t), Occur.SHOULD)
+    b.set_minimum_number_should_match(2)
+    q = b.build()
+    want, got = oracle.search(q, 10), ss.search(q, 10)
+    assert got.total_hits == want.total_hits
+    assert got.doc_ids() == want.doc_ids()
+    for a, c in zip(want.score_docs, got.score_docs):
+        assert a.score == c.score
