@@ -227,9 +227,15 @@ def write_segment(directory, seg: SegmentData) -> List[str]:
         w.add(p + "docs", pt.docs)
 
     if seg.stored:
+        # row store compressed as a whole (reference .fdt compresses stored
+        # fields); offsets index the UNCOMPRESSED blob
         rows = [json.dumps(r, default=str).encode() for r in seg.stored]
         s = _pack_strings(rows)
-        w.add("stored.bytes", s["bytes"])
+        meta["stored_compressed"] = True
+        w.add(
+            "stored.zbytes",
+            np.frombuffer(zlib.compress(s["bytes"].tobytes(), 6), np.uint8),
+        )
         w.add("stored.offsets", s["offsets"])
 
     files = []
@@ -328,7 +334,13 @@ def read_segment(directory, name: str, verify_checksums: bool = False) -> Segmen
             is_double=pmeta["is_double"],
         )
 
-    if r.has("stored.bytes"):
+    if r.has("stored.zbytes"):
+        blob = np.frombuffer(
+            zlib.decompress(r.array("stored.zbytes").tobytes()), np.uint8
+        )
+        rows = _unpack_strings(blob, r.array("stored.offsets"))
+        seg.stored = [json.loads(b) for b in rows]
+    elif r.has("stored.bytes"):  # pre-compression bundles
         rows = _unpack_strings(r.array("stored.bytes"), r.array("stored.offsets"))
         seg.stored = [json.loads(b) for b in rows]
 

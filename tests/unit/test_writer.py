@@ -257,3 +257,42 @@ def test_generation_cleanup(tmp_path):
     gens = [f for f in d.list_files() if f.startswith("segments_")]
     assert len(gens) == 1  # stale generations removed
     assert find_latest_commit_gen(d) is not None
+
+
+def test_merge_preserves_doc_values_and_points(tmp_path):
+    from diagon_tpu.document import (
+        LongPointField,
+        NumericDocValuesField,
+        SortedDocValuesField,
+    )
+    from diagon_tpu.search.query import NumericRangeQuery, PointRangeQuery
+
+    d = FSDirectory(tmp_path / "idx")
+    cfg = IndexWriterConfig(max_buffered_docs=3, merge_scheduler="serial")
+    with IndexWriter(d, cfg) as w:
+        for i in range(9):
+            w.add_document(
+                Document()
+                .add(TextField("body", f"doc t{i} common"))
+                .add(NumericDocValuesField("views", i * 10))
+                .add(LongPointField("ts", i * 100))
+                .add(SortedDocValuesField("cat", chr(ord("a") + i % 3)))
+            )
+        w.delete_documents("body", "t4")
+        w.force_merge(1)
+        w.commit()
+
+    r = DirectoryReader.open(d)
+    assert r.max_doc() == 8
+    s = OracleSearcher(r.segments_data())
+    # views of surviving docs remapped in docid order: t4 (views 40) gone
+    td = s.search(NumericRangeQuery("views", 30, 60), 10)
+    views = sorted(
+        r.segments_data()[0].doc_values["views"].values[i] for i in td.doc_ids()
+    )
+    assert views == [30, 50, 60]
+    td2 = s.search(PointRangeQuery("ts", 700, None), 10)
+    assert len(td2.doc_ids()) == 2  # t7, t8
+    # sorted doc values ord table intact
+    dv = r.segments_data()[0].doc_values["cat"]
+    assert dv.ord_values == [b"a", b"b", b"c"]
