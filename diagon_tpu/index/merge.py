@@ -90,18 +90,30 @@ class SegmentMerger:
     docids (the reference's docBase remap, SegmentMerger.cpp:67-149)."""
 
     @staticmethod
-    def merge(segments: Sequence[SegmentData], name: str) -> SegmentData:
+    def merge(
+        segments: Sequence[SegmentData],
+        name: str,
+        live: Optional[Sequence[Optional[np.ndarray]]] = None,
+    ) -> "tuple[SegmentData, List[np.ndarray]]":
+        """Merge into one segment.
+
+        ``live`` is an optional per-source live-docs snapshot (taken under
+        the writer mutex) so a merge running on the scheduler thread sees a
+        consistent view while deletes keep landing; deletes that arrive
+        during the merge are re-applied by the writer via the returned
+        ``doc_maps`` (old docid -> new docid, -1 = dropped), mirroring the
+        reference's merged-deletes commit step.
+        """
         # ----- docid remap (compact over deletions) -----
         doc_maps: List[np.ndarray] = []  # old docid -> new docid (-1 deleted)
         new_num_docs = 0
-        for seg in segments:
-            live = (
-                np.ones(seg.num_docs, dtype=bool)
-                if seg.live_docs is None
-                else seg.live_docs
+        for si, seg in enumerate(segments):
+            snap = live[si] if live is not None else seg.live_docs
+            live_mask = (
+                np.ones(seg.num_docs, dtype=bool) if snap is None else snap
             )
             m = np.full(seg.num_docs, -1, dtype=np.int64)
-            idx = np.nonzero(live)[0]
+            idx = np.nonzero(live_mask)[0]
             m[idx] = new_num_docs + np.arange(len(idx))
             new_num_docs += len(idx)
             doc_maps.append(m)
@@ -192,11 +204,16 @@ class SegmentMerger:
             )
 
         # ----- doc values -----
+        # Multi-valued types (SORTED_NUMERIC/SORTED_SET) store a CSR:
+        # ``docs`` is unique docs, ``value_start`` offsets into ``values``.
+        # Expand per-segment to flat (doc, value) rows, filter by the doc
+        # map, then rebuild the CSR for the merged segment.
         dv_names = {n for seg in segments for n in seg.doc_values}
         for fname in dv_names:
             docs_parts, val_parts = [], []
             dv_type = None
             has_ords = False
+            multi = False
             for si, seg in enumerate(segments):
                 dv = seg.doc_values.get(fname)
                 if dv is None:
@@ -204,14 +221,21 @@ class SegmentMerger:
                 dv_type = dv.dv_type
                 has_ords = dv.ord_values is not None
                 nd = doc_maps[si][dv.docs]
-                keep = nd >= 0
-                docs_parts.append(nd[keep])
-                if has_ords:
-                    val_parts.append(
-                        [dv.ord_values[int(o)] for o in dv.values[keep]]
-                    )
+                if dv.value_start is not None:
+                    multi = True
+                    counts = np.diff(dv.value_start)
+                    nd_flat = np.repeat(nd, counts)
+                    keep = nd_flat >= 0
+                    docs_parts.append(nd_flat[keep])
+                    kept_vals = dv.values[keep]
                 else:
-                    val_parts.append(dv.values[keep])
+                    keep = nd >= 0
+                    docs_parts.append(nd[keep])
+                    kept_vals = dv.values[keep]
+                if has_ords:
+                    val_parts.append([dv.ord_values[int(o)] for o in kept_vals])
+                else:
+                    val_parts.append(kept_vals)
             if not docs_parts:
                 continue
             docs = np.concatenate(docs_parts).astype(np.int32)
@@ -222,12 +246,39 @@ class SegmentMerger:
                 uniq = sorted(set(raw))
                 omap = {b: i for i, b in enumerate(uniq)}
                 vals = np.asarray([omap[b] for b in raw], dtype=np.int64)
-                out.doc_values[fname] = DocValuesData(
-                    dv_type, docs[order], vals, ord_values=uniq
-                )
+                if multi:
+                    from diagon_tpu.index.segment import _multi_value_csr
+
+                    mdocs, mvals, starts = _multi_value_csr(
+                        docs[order], vals, sort_vals=True
+                    )
+                    out.doc_values[fname] = DocValuesData(
+                        dv_type, mdocs, mvals, ord_values=uniq,
+                        value_start=starts,
+                    )
+                else:
+                    out.doc_values[fname] = DocValuesData(
+                        dv_type, docs[order], vals, ord_values=uniq
+                    )
             else:
-                vals = np.concatenate(val_parts)[order]
-                out.doc_values[fname] = DocValuesData(dv_type, docs[order], vals)
+                vals = (
+                    np.concatenate(val_parts)[order]
+                    if val_parts
+                    else np.zeros(0, np.int64)
+                )
+                if multi:
+                    from diagon_tpu.index.segment import _multi_value_csr
+
+                    mdocs, mvals, starts = _multi_value_csr(
+                        docs[order], vals, sort_vals=True
+                    )
+                    out.doc_values[fname] = DocValuesData(
+                        dv_type, mdocs, mvals, value_start=starts
+                    )
+                else:
+                    out.doc_values[fname] = DocValuesData(
+                        dv_type, docs[order], vals
+                    )
 
         # ----- points -----
         pt_names = {n for seg in segments for n in seg.points}
@@ -255,7 +306,7 @@ class SegmentMerger:
                 if old_id < len(dmap) and dmap[old_id] >= 0:
                     out.stored.append(row)
 
-        return out
+        return out, doc_maps
 
 
 class MergeScheduler:

@@ -321,7 +321,18 @@ class IndexWriter:
             return self._write_segments_file()
 
     def _do_merge(self, merge: OneMerge) -> None:
-        merged = SegmentMerger.merge(merge.segments, name="_tmp")
+        # Snapshot live-docs under the mutex: the merge runs on the
+        # scheduler thread while delete_documents keeps mutating live_docs;
+        # deletes that land during the merge are re-applied to the merged
+        # segment below (the reference's merged-deletes commit step).
+        with self._mutex:
+            live_snaps = [
+                None if s.live_docs is None else s.live_docs.copy()
+                for s in merge.segments
+            ]
+        merged, doc_maps = SegmentMerger.merge(
+            merge.segments, name="_tmp", live=live_snaps
+        )
         src_names = {s.name for s in merge.segments}
         with self._mutex:
             if self._closed or not src_names.issubset(
@@ -330,6 +341,19 @@ class IndexWriter:
                 # a source vanished (concurrent merge/rollback): abort
                 self._merging.difference_update(src_names)
                 return
+            # re-apply deletes that arrived during the merge
+            for seg, snap, dmap in zip(merge.segments, live_snaps, doc_maps):
+                cur = seg.live_docs
+                if cur is None:
+                    continue
+                was = (
+                    np.ones(seg.num_docs, dtype=bool) if snap is None else snap
+                )
+                newly_dead = np.nonzero(was & ~cur)[0]
+                for old_id in newly_dead:
+                    new_id = int(dmap[old_id])
+                    if new_id >= 0:
+                        merged.delete_document(new_id)
             merged.name = self._next_segment_name()
             files = write_segment(self.directory, merged)
             # swap under the lock (IndexWriter.h:358-378 deferred deletes);
@@ -396,6 +420,12 @@ class IndexWriter:
                 for si in self._infos.segments
             ]
             self._dirty_live_docs.clear()
+            # Deferred deletes queued by uncommitted merges reference files
+            # the restored commit still needs; dropping the queue here (and
+            # re-deriving nothing — committed files are never queued twice)
+            # prevents the next commit from deleting live segments.
+            self._pending_delete_files.clear()
+            self._merging.clear()
 
     def close(self) -> None:
         self._scheduler.wait()  # outside the mutex (merge threads need it)

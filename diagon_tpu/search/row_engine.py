@@ -69,10 +69,13 @@ def exact_topk(final: jnp.ndarray, k: int):
     if D <= 32768 or D % LANE != 0:
         return jax.lax.top_k(final, k)  # ties -> lower index == lower docid
     G = D // LANE
+    # k tiles suffice for exactness; when k > G select all G tiles (the
+    # candidate set is then the whole array).
+    kt = min(k, G)
     tiles = final.reshape(G, LANE)
     tmax = jnp.max(tiles, axis=1)
-    _, tidx = jax.lax.top_k(tmax, k)  # ties -> lower tile index
-    cand = tiles[tidx]  # [k, LANE] contiguous row gather
+    _, tidx = jax.lax.top_k(tmax, kt)  # ties -> lower tile index
+    cand = tiles[tidx]  # [kt, LANE] contiguous row gather
     cand_docs = (
         tidx[:, None] * LANE
         + jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)

@@ -35,6 +35,11 @@ class Directory:
     def write_bytes(self, name: str, data: bytes) -> None:
         raise NotImplementedError
 
+    def create_atomic(self, name: str, data: bytes) -> bool:
+        """Create ``name`` only if it does not exist (atomic, for locks).
+        Returns False if the file already exists."""
+        raise NotImplementedError
+
     def delete_file(self, name: str) -> None:
         raise NotImplementedError
 
@@ -47,10 +52,10 @@ class Directory:
     def sync_meta(self) -> None:
         pass
 
-    def obtain_lock(self, name: str = "write.lock"):
+    def obtain_lock(self, name: str = "write.lock", force: bool = False):
         from diagon_tpu.store.lock import Lock
 
-        return Lock.obtain(self, name)
+        return Lock.obtain(self, name, force=force)
 
 
 class FSDirectory(Directory):
@@ -96,6 +101,18 @@ class FSDirectory(Directory):
             os.fsync(f.fileno())
         os.replace(tmp, self._p(name))
 
+    def create_atomic(self, name: str, data: bytes) -> bool:
+        try:
+            fd = os.open(self._p(name), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, data)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        return True
+
     def delete_file(self, name: str) -> None:
         os.unlink(self._p(name))
 
@@ -120,7 +137,10 @@ class FSDirectory(Directory):
 
 class RAMDirectory(Directory):
     def __init__(self):
+        import threading
+
         self._files: Dict[str, bytes] = {}
+        self._mutex = threading.Lock()
 
     def list_files(self) -> List[str]:
         return sorted(self._files)
@@ -136,6 +156,13 @@ class RAMDirectory(Directory):
 
     def write_bytes(self, name: str, data: bytes) -> None:
         self._files[name] = bytes(data)
+
+    def create_atomic(self, name: str, data: bytes) -> bool:
+        with self._mutex:
+            if name in self._files:
+                return False
+            self._files[name] = bytes(data)
+            return True
 
     def delete_file(self, name: str) -> None:
         del self._files[name]
