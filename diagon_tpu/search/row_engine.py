@@ -41,6 +41,13 @@ LANE = 128  # docs per VPU-lane tile
 HEAVY_FRACTION = 16  # heavy iff df >= num_docs_pad / HEAVY_FRACTION
 HEAVY_MIN_DF = 256
 
+# Block-max pruned scoring (the WAND role, WANDScorer.h:17-285): engage the
+# two-phase kernel once a segment is large enough that exhaustive [Tq, D]
+# row traffic dominates (the upper-bound pass costs D/128 f32 + D/8 bitmap
+# bytes per clause vs 4*D exhaustive).
+PRUNE_MIN_DOCS = 1 << 18
+PRUNE_B0 = 256  # initial candidate-tile budget per query
+
 
 def _bucket(n: int, minimum: int = 8) -> int:
     return max(minimum, 1 << math.ceil(math.log2(max(1, n))))
@@ -220,6 +227,164 @@ def row_score_topk_pure_or_pallas(
     return jax.vmap(finish)(scores)
 
 
+# ---------------------------------------------------------------------------
+# Block-max pruned scoring (the WAND equivalent)
+# ---------------------------------------------------------------------------
+#
+# Two-phase exact top-k, the TPU answer to the reference's Block-Max WAND
+# (WANDScorer.h:17-285) and MaxScoreBulkScorer (MaxScoreBulkScorer.h:18-120):
+#
+# 1. A cheap vectorized upper-bound pass over per-(term, 128-doc-tile)
+#    score maxima selects the B most promising tiles per query, and a
+#    bitmap pass (presence bits, 1 bit/doc) computes the EXACT hit count.
+# 2. Only the selected tiles' score rows are gathered (contiguous 512-byte
+#    tile DMAs) and rescored in oracle clause order — per-doc f32 adds are
+#    the identical sequence the exhaustive kernel performs, so scores stay
+#    bit-exact.
+#
+# Exactness guarantee: let theta be the k-th best rescored candidate and
+# u_next the (B+1)-th largest tile upper bound. If theta > u_next, no doc in
+# an unselected tile can reach the top k (its score <= its tile's UB <=
+# u_next < theta), and no tie-break ambiguity exists (strict inequality).
+# Otherwise the kernel flags the query and the executor re-runs it on the
+# exhaustive path — a superset rescore, so results are always bit-exact.
+
+
+@jax.jit
+def build_tile_aux(bank):
+    """Per-row tile maxima + presence bitmaps for a dense row bank.
+
+    bank f32 [N, D] -> (ub f32 [N, D/128], bits u32 [N, D/32]).
+    Bit j of word w covers doc w*32+j (must match _pack_live_bits).
+    """
+    N, D = bank.shape
+    ub = bank.reshape(N, D // LANE, LANE).max(axis=-1)
+    v = (bank > 0).astype(jnp.uint32).reshape(N, D // 32, 32)
+    w = v << jax.lax.broadcasted_iota(jnp.uint32, v.shape, 2)
+    return ub, w.sum(axis=-1, dtype=jnp.uint32)
+
+
+@jax.jit
+def _pack_live_bits(live):
+    """f32 [D] 0/1 -> u32 [D/32] presence bitmap (same packing as
+    build_tile_aux)."""
+    v = (live > 0).astype(jnp.uint32).reshape(-1, 32)
+    w = v << jax.lax.broadcasted_iota(jnp.uint32, v.shape, 1)
+    return w.sum(axis=-1, dtype=jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("k", "B"))
+def row_score_topk_pruned_or(
+    heavy_bank,  # f32 [H, D]
+    light_bank,  # f32 [L, D] (row 0 all-zero)
+    heavy_ub,  # f32 [H, G]
+    light_ub,  # f32 [L, G]
+    heavy_bits,  # u32 [H, G4]
+    light_bits,  # u32 [L, G4]
+    live,  # f32 [D]
+    live_bits,  # u32 [G4]
+    hidx,  # int32 [Q, Tq]
+    lidx,  # int32 [Q, Tq]
+    *,
+    k: int,
+    B: int,
+):
+    """Pruned pure-OR scoring. Output [Q, 2k+2]: scores, docids, exact
+    hits, and a 'safe' flag (0 -> the executor must escalate that query)."""
+    H, D = heavy_bank.shape
+    G = D // LANE
+    Bk = min(B, G)
+    heavy_tiles = heavy_bank.reshape(H * G, LANE)
+    light_tiles = light_bank.reshape(-1, LANE)
+    live_tiles = live.reshape(G, LANE)
+    light_small = light_bank.shape[0] == 1
+
+    def one_query(hidx_q, lidx_q):
+        # phase 1: tile upper bounds + exact hits (bitmap union)
+        def ub_step(carry, inp):
+            ub, bits = carry
+            hi, li = inp
+            ubh = heavy_ub[jnp.maximum(hi, 0)]
+            bth = heavy_bits[jnp.maximum(hi, 0)]
+            if light_small:
+                ubr = jnp.where(hi >= 0, ubh, jnp.float32(0.0))
+                btr = jnp.where(hi >= 0, bth, jnp.uint32(0))
+            else:
+                ubr = jnp.where(hi >= 0, ubh, light_ub[jnp.maximum(li, 0)])
+                btr = jnp.where(hi >= 0, bth, light_bits[jnp.maximum(li, 0)])
+            return (ub + ubr, bits | btr), None
+
+        (ub, bits), _ = jax.lax.scan(
+            ub_step,
+            (
+                jnp.zeros((G,), jnp.float32),
+                jnp.zeros((D // 32,), jnp.uint32),
+            ),
+            (hidx_q, lidx_q),
+        )
+        hits = jnp.sum(
+            jax.lax.population_count(bits & live_bits)
+        ).astype(jnp.int32)
+
+        # phase 2: select candidate tiles
+        if Bk < G:
+            ubtop, tfull = jax.lax.top_k(ub, Bk + 1)
+            tsel = tfull[:Bk]
+            u_next = ubtop[Bk]
+        else:
+            _, tsel = jax.lax.top_k(ub, G)
+            u_next = None
+
+        # phase 3: rescore selected tiles in oracle clause order
+        def sc_step(scores, inp):
+            hi, li = inp
+            rowh = heavy_tiles[jnp.maximum(hi, 0) * G + tsel]
+            if light_small:
+                rows = jnp.where(hi >= 0, rowh, jnp.float32(0.0))
+            else:
+                rowl = light_tiles[jnp.maximum(li, 0) * G + tsel]
+                rows = jnp.where(hi >= 0, rowh, rowl)
+            return scores + rows, None
+
+        scores, _ = jax.lax.scan(
+            sc_step, jnp.zeros((Bk, LANE), jnp.float32), (hidx_q, lidx_q)
+        )
+        lv = live_tiles[tsel]
+        mask = (scores > 0) & (lv > 0)
+        final = jnp.where(mask, scores, jnp.float32(-1.0)).reshape(-1)
+        dgrid = (
+            tsel[:, None] * LANE
+            + jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+        ).reshape(-1)
+        neg, dsort = jax.lax.sort(
+            (jnp.negative(final), dgrid),
+            dimension=0,
+            is_stable=True,
+            num_keys=2,
+        )
+        top_scores = -neg[:k]
+        top_docs = dsort[:k]
+
+        # phase 4: exactness certificate
+        if u_next is None:
+            safe = jnp.ones((1,), jnp.float32)
+        else:
+            theta = top_scores[k - 1]
+            safe = ((theta > u_next) | (u_next <= 0)).astype(jnp.float32)[
+                None
+            ]
+        return jnp.concatenate(
+            [
+                top_scores,
+                top_docs.astype(jnp.float32),
+                hits[None].astype(jnp.float32),
+                safe,
+            ]
+        )
+
+    return jax.vmap(one_query)(hidx, lidx)
+
+
 class RowFieldIndex:
     """Host+device state to produce per-term dense score rows."""
 
@@ -264,11 +429,17 @@ class RowFieldIndex:
         self.live = jax.device_put(jnp.asarray(live), device)
         self.device = device
 
+        # pruning needs doc-pad divisible into 128-doc tiles / 32-bit words
+        self.prunable = num_docs_pad % LANE == 0
+        self.live_bits = _pack_live_bits(self.live) if self.prunable else None
+
         # heavy-term device bank (rows scaled by each term's own idf at
         # searcher-provided weights; built lazily because idf needs
         # collection stats) — filled by build_heavy_bank.
         self.heavy_row_of_term: Optional[np.ndarray] = None
         self.heavy_bank = None
+        self.heavy_ub = None
+        self.heavy_bits = None
 
     def host_row(self, tid: int, weight: np.float32) -> np.ndarray:
         """Dense f32 score row for one term: weight * tf_factor scattered
@@ -294,12 +465,14 @@ class RowFieldIndex:
             self.heavy_bank = jax.device_put(
                 jnp.zeros((1, self.num_docs_pad), jnp.float32), self.device
             )
-            return
-        rows = np.zeros((len(heavy), self.num_docs_pad), dtype=np.float32)
-        for i, tid in enumerate(heavy):
-            self.heavy_row_of_term[tid] = i
-            rows[i] = self.host_row(int(tid), idf_of_tid(int(tid)))
-        self.heavy_bank = jax.device_put(jnp.asarray(rows), self.device)
+        else:
+            rows = np.zeros((len(heavy), self.num_docs_pad), dtype=np.float32)
+            for i, tid in enumerate(heavy):
+                self.heavy_row_of_term[tid] = i
+                rows[i] = self.host_row(int(tid), idf_of_tid(int(tid)))
+            self.heavy_bank = jax.device_put(jnp.asarray(rows), self.device)
+        if self.prunable:
+            self.heavy_ub, self.heavy_bits = build_tile_aux(self.heavy_bank)
 
 
 # ---------------------------------------------------------------------------
@@ -523,6 +696,10 @@ class RowExecutor:
                 row[row > 0] += off - 1
             off += nr
 
+        light_bank = jnp.asarray(bank)
+        light_aux = (
+            build_tile_aux(light_bank) if self.index.prunable else (None, None)
+        )
         return (
             jnp.asarray(pad(lambda p: p.hidx, np.int32, fill=-1)),
             jnp.asarray(lidx),
@@ -533,10 +710,11 @@ class RowExecutor:
             jnp.asarray(
                 [[p.num_required, p.min_should] for p in plans], jnp.float32
             ),
-            jnp.asarray(bank),
+            light_bank,
+            light_aux,
         )
 
-    def _args(self, plans: Sequence[RowPlan]):
+    def _entry(self, plans: Sequence[RowPlan]):
         ck = tuple(id(p) for p in plans)
         entry = self._batch_cache.get(ck)
         if entry is None:
@@ -544,7 +722,12 @@ class RowExecutor:
             entry = (list(plans), stacked)
             if len(self._batch_cache) < 64:
                 self._batch_cache[ck] = entry
-        (hidx, lidx, scoring, req, sho, neg, bool_params, light_bank) = entry[1]
+        return entry
+
+    def _args(self, plans: Sequence[RowPlan]):
+        (hidx, lidx, scoring, req, sho, neg, bool_params, light_bank, _aux) = (
+            self._entry(plans)[1]
+        )
         return (
             self.index.heavy_bank,
             light_bank,
@@ -560,10 +743,49 @@ class RowExecutor:
 
     # pallas is the default pure-OR path; set False to force the XLA scan
     use_pallas: bool = True
+    # block-max pruning knobs (instance-overridable; tests force small ones)
+    prune_min_docs: int = PRUNE_MIN_DOCS
+    prune_B0: int = PRUNE_B0
+
+    def _use_pruned(self, plans: Sequence[RowPlan]) -> bool:
+        return (
+            self.index.prunable
+            and self.index.heavy_ub is not None
+            and self.index.num_docs_pad >= self.prune_min_docs
+            and all(p.pure_or for p in plans)
+        )
+
+    def _dispatch_pruned(self, plans: Sequence[RowPlan], k: int):
+        (hidx, lidx, *_mid, light_bank, light_aux) = self._entry(plans)[1]
+        idx = self.index
+        G = idx.num_docs_pad // LANE
+        B = min(G, max(self.prune_B0, -(-k // LANE) + 1))
+        light_ub, light_bits = light_aux
+        if light_ub is None:  # zero-row-only bank never hits the light path
+            light_ub = jnp.zeros((1, G), jnp.float32)
+            light_bits = jnp.zeros(
+                (1, idx.num_docs_pad // 32), jnp.uint32
+            )
+        return row_score_topk_pruned_or(
+            idx.heavy_bank,
+            light_bank,
+            idx.heavy_ub,
+            light_ub,
+            idx.heavy_bits,
+            light_bits,
+            idx.live,
+            idx.live_bits,
+            hidx,
+            lidx,
+            k=k,
+            B=B,
+        )
 
     def dispatch(self, plans: Sequence[RowPlan], k: int):
         import jax
 
+        if self._use_pruned(plans):
+            return self._dispatch_pruned(plans, k)
         args = self._args(plans)
         if all(p.pure_or for p in plans):
             (heavy, light, live, hidx, lidx, *_rest) = args
@@ -581,10 +803,41 @@ class RowExecutor:
             )
         return row_score_topk(*args, k=k)
 
-    def top_k_batch(self, plans: Sequence[RowPlan], k: int):
+    def finalize(self, plans: Sequence[RowPlan], fused, k: int):
+        """Decode a dispatch() result; escalate pruned queries whose
+        exactness certificate failed onto the exhaustive kernel."""
         from diagon_tpu.search.engine import unfuse_topk
 
-        return unfuse_topk(self.dispatch(plans, k), k)
+        fused = np.asarray(fused)
+        if fused.shape[-1] == 2 * k + 1:  # exhaustive layout
+            return unfuse_topk(fused, k)
+        scores = fused[:, :k].copy()
+        docs = fused[:, k : 2 * k].astype(np.int32)
+        hits = fused[:, 2 * k].astype(np.int32)
+        unsafe = np.nonzero(fused[:, 2 * k + 1] == 0.0)[0]
+        if len(unsafe):
+            sub = [plans[int(i)] for i in unsafe]
+            args = self._args(sub)
+            (heavy, light, live, hidx, lidx, *_rest) = args
+            import jax
+
+            if self.use_pallas and heavy.shape[1] % 1024 == 0:
+                sub_fused = row_score_topk_pure_or_pallas(
+                    heavy, light, live, hidx, lidx, k=k,
+                    interpret=jax.default_backend() == "cpu",
+                )
+            else:
+                sub_fused = row_score_topk_pure_or(
+                    heavy, light, live, hidx, lidx, k=k
+                )
+            s2, d2, h2 = unfuse_topk(np.asarray(sub_fused), k)
+            scores[unsafe] = s2
+            docs[unsafe] = d2
+            hits[unsafe] = h2
+        return scores, docs, hits
+
+    def top_k_batch(self, plans: Sequence[RowPlan], k: int):
+        return self.finalize(plans, self.dispatch(plans, k), k)
 
     def top_k(self, plan: RowPlan, k: int):
         scores, docs, hits = self.top_k_batch([plan], k)

@@ -512,7 +512,7 @@ class IndexSearcher:
             plans = [seg_plans[si] for _, seg_plans in flat]
             kk = min(k, ds.num_docs_pad)
             fused = ex.dispatch(plans, kk)
-            handles.append((si, kk, fused))
+            handles.append((si, kk, fused, ex, plans))
         return (len(queries), k, handles)
 
     def collect_many(self, handles) -> List[List[TopDocs]]:
@@ -522,10 +522,8 @@ class IndexSearcher:
         once, then decodes."""
         import jax.numpy as jnp
 
-        from diagon_tpu.search.engine import unfuse_topk
-
         # group fused arrays by (segment, k) shape
-        all_fused = [f for _, _, parts in handles for _, _, f in parts]
+        all_fused = [f for _, _, parts in handles for _, _, f, _, _ in parts]
         if not all_fused:
             return [self.collect_batch(h) for h in handles]
         stacked = np.asarray(jnp.concatenate([f.reshape(-1) for f in all_fused]))
@@ -533,11 +531,11 @@ class IndexSearcher:
         pos = 0
         for nq, k, parts in handles:
             results: List[List[TopDocs]] = [[] for _ in range(nq)]
-            for si, kk, f in parts:
+            for si, kk, f, ex, plans in parts:
                 n = int(np.prod(f.shape))
                 flat = stacked[pos : pos + n].reshape(f.shape)
                 pos += n
-                scores, docs, hits = unfuse_topk(flat, kk)
+                scores, docs, hits = ex.finalize(plans, flat, kk)
                 for qi in range(nq):
                     results[qi].append(
                         self._to_topdocs(si, scores[qi], docs[qi], hits[qi])
@@ -547,12 +545,10 @@ class IndexSearcher:
 
     def collect_batch(self, handle) -> List[TopDocs]:
         """Resolve a dispatch_batch handle into per-query TopDocs."""
-        from diagon_tpu.search.engine import unfuse_topk
-
         nq, k, parts_h = handle
         results: List[List[TopDocs]] = [[] for _ in range(nq)]
-        for si, kk, fused in parts_h:
-            scores, docs, hits = unfuse_topk(fused, kk)
+        for si, kk, fused, ex, plans in parts_h:
+            scores, docs, hits = ex.finalize(plans, fused, kk)
             for qi in range(nq):
                 results[qi].append(
                     self._to_topdocs(si, scores[qi], docs[qi], hits[qi])

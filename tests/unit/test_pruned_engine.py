@@ -1,0 +1,158 @@
+"""Block-max pruned scoring (the WAND role): bit-exact parity vs oracle.
+
+The pruned path is a two-phase kernel (tile upper bounds -> exact rescore
+of selected tiles) with an exactness certificate; when the certificate
+fails the executor escalates to the exhaustive kernel. These tests force
+the pruned path onto tiny corpora (prune_min_docs=0) and use both generous
+and starved tile budgets so BOTH the safe path and the escalation path are
+exercised, always asserting bit-exactness (doc ids, f32 scores, hit
+counts) against the scalar oracle.
+"""
+
+import numpy as np
+import pytest
+
+from diagon_tpu.document import Document, TextField
+from diagon_tpu.index.memory_index import MemoryIndex
+from diagon_tpu.index.segment import flush_memory_index
+from diagon_tpu.search.oracle import OracleSearcher
+from diagon_tpu.search.query import BooleanQuery, Occur, TermQuery
+from diagon_tpu.search.searcher import IndexSearcher
+
+
+def _corpus(n_docs=900, vocab=60, seed=11):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    words = np.asarray(
+        [f"w{i}" for i in range(vocab)] + ["oil", "price", "trade", "rare1"],
+        dtype=object,
+    )
+    mem = MemoryIndex()
+    for i in range(n_docs):
+        ln = max(3, int(rng.normal(20, 8)))
+        toks = list(rng.choice(words, ln))
+        if i % 317 == 0:
+            toks.append("rare1")
+        mem.add_document(Document().add(TextField("body", " ".join(toks))))
+    return flush_memory_index(mem, "_pr")
+
+
+def _force_pruned(searcher, field, b0):
+    ctx = searcher._ctx(field)
+    for ex in ctx.row_executors:
+        if ex is not None:
+            ex.prune_min_docs = 0
+            ex.prune_B0 = b0
+    return ctx
+
+
+def _or_query(terms):
+    b = BooleanQuery.Builder()
+    for t in terms:
+        b.add(TermQuery("body", t), Occur.SHOULD)
+    return b.build()
+
+
+QUERIES = [
+    ["oil"],
+    ["oil", "price"],
+    ["oil", "price", "trade", "w1", "w2"],
+    ["rare1"],
+    ["rare1", "oil"],
+    ["zzz_missing", "oil"],
+    [f"w{i}" for i in range(20)],
+]
+
+
+@pytest.mark.parametrize("b0", [2, 8, 10_000])
+def test_pruned_or_parity(b0):
+    seg = _corpus()
+    searcher = IndexSearcher([seg])
+    _force_pruned(searcher, "body", b0)
+    oracle = OracleSearcher([seg])
+    for terms in QUERIES:
+        q = _or_query(terms)
+        want = oracle.search(q, 10)
+        got = searcher.search(q, 10)
+        assert got.doc_ids() == want.doc_ids(), terms
+        assert got.total_hits == want.total_hits, terms
+        for o, d in zip(want.score_docs, got.score_docs):
+            assert o.score == d.score, (terms, o, d)
+
+
+def test_pruned_dispatch_is_used_and_certificate_honest():
+    from diagon_tpu.search import row_engine
+
+    seg = _corpus()
+    searcher = IndexSearcher([seg])
+    ctx = _force_pruned(searcher, "body", 4)
+    ex = ctx.row_executors[0]
+    q = _or_query(["oil", "price", "trade"])
+    field, plans = searcher._cached_query_plans(q)
+    fused = np.asarray(ex.dispatch([plans[0]] * 3, 10))
+    # pruned layout: 2k+2 columns (scores, docs, hits, safe flag)
+    assert fused.shape[-1] == 22
+    # starved budget (4 tiles of ~8) on broad queries: certificate must not
+    # be trivially 1 everywhere AND escalated results must match oracle
+    oracle = OracleSearcher([seg])
+    got = searcher.search(q, 10)
+    want = oracle.search(q, 10)
+    assert got.doc_ids() == want.doc_ids()
+    assert got.total_hits == want.total_hits
+
+
+@pytest.mark.parametrize("b0", [2, 64])
+def test_pruned_batch_and_async_paths(b0):
+    seg = _corpus(n_docs=700, seed=5)
+    searcher = IndexSearcher([seg])
+    _force_pruned(searcher, "body", b0)
+    oracle = OracleSearcher([seg])
+    queries = [_or_query(t) for t in QUERIES]
+    got_batch = searcher.search_batch(queries, 10)
+    h = searcher.dispatch_batch(queries, 10)
+    got_async = searcher.collect_batch(h)
+    h2 = [searcher.dispatch_batch(queries, 10) for _ in range(2)]
+    got_many = searcher.collect_many(h2)
+    for qi, q in enumerate(queries):
+        want = oracle.search(q, 10)
+        for got in (got_batch[qi], got_async[qi], got_many[0][qi],
+                    got_many[1][qi]):
+            assert got.doc_ids() == want.doc_ids(), QUERIES[qi]
+            assert got.total_hits == want.total_hits
+            for o, d in zip(want.score_docs, got.score_docs):
+                assert o.score == d.score
+
+
+def test_pruned_with_deletes():
+    seg = _corpus(n_docs=600, seed=9)
+    # delete a band of docs, including likely top scorers
+    for d in range(0, 600, 7):
+        seg.delete_document(d)
+    searcher = IndexSearcher([seg])
+    _force_pruned(searcher, "body", 8)
+    oracle = OracleSearcher([seg])
+    for terms in QUERIES:
+        q = _or_query(terms)
+        want = oracle.search(q, 10)
+        got = searcher.search(q, 10)
+        assert got.doc_ids() == want.doc_ids(), terms
+        assert got.total_hits == want.total_hits, terms
+
+
+def test_pruned_fuzz_random_or_queries():
+    rng = np.random.Generator(np.random.PCG64(42))
+    seg = _corpus(n_docs=800, vocab=40, seed=3)
+    searcher = IndexSearcher([seg])
+    _force_pruned(searcher, "body", 6)
+    oracle = OracleSearcher([seg])
+    vocab = [f"w{i}" for i in range(40)] + ["oil", "price", "rare1", "nope"]
+    for _ in range(25):
+        n = int(rng.integers(1, 8))
+        terms = list(rng.choice(vocab, n, replace=False))
+        k = int(rng.integers(1, 25))
+        q = _or_query(terms)
+        want = oracle.search(q, k)
+        got = searcher.search(q, k)
+        assert got.doc_ids() == want.doc_ids(), (terms, k)
+        assert got.total_hits == want.total_hits, (terms, k)
+        for o, d in zip(want.score_docs, got.score_docs):
+            assert o.score == d.score
