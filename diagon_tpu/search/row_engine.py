@@ -46,7 +46,10 @@ HEAVY_MIN_DF = 256
 # row traffic dominates (the upper-bound pass costs D/128 f32 + D/8 bitmap
 # bytes per clause vs 4*D exhaustive).
 PRUNE_MIN_DOCS = 1 << 18
-PRUNE_B0 = 256  # initial candidate-tile budget per query
+# Initial candidate-tile budget per query. The approx selection phase is
+# near-exact (bf16-relative bound), so the true top-k live in <= k tiles;
+# 64 leaves a wide tie margin and the certificate escalates when starved.
+PRUNE_B0 = 64
 
 
 def _bucket(n: int, minimum: int = 8) -> int:
@@ -264,6 +267,18 @@ def build_tile_aux(bank):
     return ub, w.sum(axis=-1, dtype=jnp.uint32)
 
 
+def _pad_rows8(bank):
+    """Pad a bank's row count to a multiple of 8 (TPU sublane rule for the
+    pallas approx pass; zero rows contribute nothing to the matmul)."""
+    n = bank.shape[0]
+    n8 = -(-n // 8) * 8
+    if n8 == n:
+        return bank
+    return jnp.concatenate(
+        [bank, jnp.zeros((n8 - n, bank.shape[1]), bank.dtype)]
+    )
+
+
 @jax.jit
 def _pack_live_bits(live):
     """f32 [D] 0/1 -> u32 [D/32] presence bitmap (same packing as
@@ -271,6 +286,85 @@ def _pack_live_bits(live):
     v = (live > 0).astype(jnp.uint32).reshape(-1, 32)
     w = v << jax.lax.broadcasted_iota(jnp.uint32, v.shape, 1)
     return w.sum(axis=-1, dtype=jnp.uint32)
+
+
+def _bitmap_hits_q(hidx_q, lidx_q, heavy_bits, light_bits, live_bits,
+                   light_small):
+    """Exact hit count for one pure-OR query: popcount of the live-masked
+    union of per-clause presence bitmaps (u32 words, 1 bit/doc)."""
+    G4 = heavy_bits.shape[1]
+
+    def step(bits, inp):
+        hi, li = inp
+        bth = heavy_bits[jnp.maximum(hi, 0)]
+        if light_small:
+            btr = jnp.where(hi >= 0, bth, jnp.uint32(0))
+        else:
+            btr = jnp.where(hi >= 0, bth, light_bits[jnp.maximum(li, 0)])
+        return bits | btr, None
+
+    bits, _ = jax.lax.scan(
+        step, jnp.zeros((G4,), jnp.uint32), (hidx_q, lidx_q)
+    )
+    return jnp.sum(jax.lax.population_count(bits & live_bits)).astype(
+        jnp.int32
+    )
+
+
+def _rescore_tiles_q(hidx_q, lidx_q, tsel, heavy_tiles, light_tiles, G,
+                     light_small):
+    """Exact scores for the selected tiles, accumulated in oracle clause
+    order — per-doc f32 adds are the identical sequence the exhaustive
+    kernel performs, so scores are bit-exact."""
+
+    def step(scores, inp):
+        hi, li = inp
+        rowh = heavy_tiles[jnp.maximum(hi, 0) * G + tsel]
+        if light_small:
+            rows = jnp.where(hi >= 0, rowh, jnp.float32(0.0))
+        else:
+            rowl = light_tiles[jnp.maximum(li, 0) * G + tsel]
+            rows = jnp.where(hi >= 0, rowh, rowl)
+        return scores + rows, None
+
+    scores, _ = jax.lax.scan(
+        step,
+        jnp.zeros((tsel.shape[0], LANE), jnp.float32),
+        (hidx_q, lidx_q),
+    )
+    return scores
+
+
+def _topk_in_tiles_q(scores, tsel, live_tiles, k):
+    """(score desc, docid asc) top-k within selected tiles. REQUIRES tsel
+    ascending (docid-ordered tiles).
+
+    Two-stage exact selection (a full sort of B*128 candidates costs
+    log^2(B*128) bitonic passes): top-k TILES by max score — lax.top_k
+    breaks ties toward the lower tile index, which with ascending tsel is
+    the lower docid — then one lexicographic sort of the k*128 surviving
+    lanes. Exactness: if a true top-k doc's tile were excluded, each
+    selected tile contains a doc that outranks it (higher max, or equal
+    max in a lower-docid tile) — k docs outrank it, contradiction."""
+    B = tsel.shape[0]
+    kt = min(k, B)
+    lv = live_tiles[tsel]
+    mask = (scores > 0) & (lv > 0)
+    final = jnp.where(mask, scores, jnp.float32(-1.0))  # [B, LANE]
+    dgrid = tsel[:, None] * LANE + jax.lax.broadcasted_iota(
+        jnp.int32, (1, LANE), 1
+    )  # [B, LANE]
+    tmax = jnp.max(final, axis=1)  # [B]
+    _, top_tiles = jax.lax.top_k(tmax, kt)  # ties -> lower docid tile
+    cand = final[top_tiles].reshape(-1)
+    cand_docs = dgrid[top_tiles].reshape(-1)
+    neg, dsort = jax.lax.sort(
+        (jnp.negative(cand), cand_docs),
+        dimension=0,
+        is_stable=True,
+        num_keys=2,
+    )
+    return -neg[:k], dsort[:k]
 
 
 @partial(jax.jit, static_argnames=("k", "B"))
@@ -289,8 +383,10 @@ def row_score_topk_pruned_or(
     k: int,
     B: int,
 ):
-    """Pruned pure-OR scoring. Output [Q, 2k+2]: scores, docids, exact
-    hits, and a 'safe' flag (0 -> the executor must escalate that query)."""
+    """Pruned pure-OR scoring with sum-of-tile-maxima bounds (cheap: one
+    [G] row per clause — right for selective queries / small batches).
+    Output [Q, 2k+2]: scores, docids, exact hits, 'safe' flag (0 -> the
+    executor must escalate that query)."""
     H, D = heavy_bank.shape
     G = D // LANE
     Bk = min(B, G)
@@ -300,72 +396,35 @@ def row_score_topk_pruned_or(
     light_small = light_bank.shape[0] == 1
 
     def one_query(hidx_q, lidx_q):
-        # phase 1: tile upper bounds + exact hits (bitmap union)
-        def ub_step(carry, inp):
-            ub, bits = carry
+        def ub_step(ub, inp):
             hi, li = inp
             ubh = heavy_ub[jnp.maximum(hi, 0)]
-            bth = heavy_bits[jnp.maximum(hi, 0)]
             if light_small:
                 ubr = jnp.where(hi >= 0, ubh, jnp.float32(0.0))
-                btr = jnp.where(hi >= 0, bth, jnp.uint32(0))
             else:
                 ubr = jnp.where(hi >= 0, ubh, light_ub[jnp.maximum(li, 0)])
-                btr = jnp.where(hi >= 0, bth, light_bits[jnp.maximum(li, 0)])
-            return (ub + ubr, bits | btr), None
+            return ub + ubr, None
 
-        (ub, bits), _ = jax.lax.scan(
-            ub_step,
-            (
-                jnp.zeros((G,), jnp.float32),
-                jnp.zeros((D // 32,), jnp.uint32),
-            ),
-            (hidx_q, lidx_q),
+        ub, _ = jax.lax.scan(
+            ub_step, jnp.zeros((G,), jnp.float32), (hidx_q, lidx_q)
         )
-        hits = jnp.sum(
-            jax.lax.population_count(bits & live_bits)
-        ).astype(jnp.int32)
+        hits = _bitmap_hits_q(
+            hidx_q, lidx_q, heavy_bits, light_bits, live_bits, light_small
+        )
 
-        # phase 2: select candidate tiles
         if Bk < G:
             ubtop, tfull = jax.lax.top_k(ub, Bk + 1)
-            tsel = tfull[:Bk]
+            tsel = jnp.sort(tfull[:Bk])  # docid order for the rank stage
             u_next = ubtop[Bk]
         else:
-            _, tsel = jax.lax.top_k(ub, G)
+            tsel = jnp.arange(G, dtype=jnp.int32)
             u_next = None
 
-        # phase 3: rescore selected tiles in oracle clause order
-        def sc_step(scores, inp):
-            hi, li = inp
-            rowh = heavy_tiles[jnp.maximum(hi, 0) * G + tsel]
-            if light_small:
-                rows = jnp.where(hi >= 0, rowh, jnp.float32(0.0))
-            else:
-                rowl = light_tiles[jnp.maximum(li, 0) * G + tsel]
-                rows = jnp.where(hi >= 0, rowh, rowl)
-            return scores + rows, None
-
-        scores, _ = jax.lax.scan(
-            sc_step, jnp.zeros((Bk, LANE), jnp.float32), (hidx_q, lidx_q)
+        scores = _rescore_tiles_q(
+            hidx_q, lidx_q, tsel, heavy_tiles, light_tiles, G, light_small
         )
-        lv = live_tiles[tsel]
-        mask = (scores > 0) & (lv > 0)
-        final = jnp.where(mask, scores, jnp.float32(-1.0)).reshape(-1)
-        dgrid = (
-            tsel[:, None] * LANE
-            + jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
-        ).reshape(-1)
-        neg, dsort = jax.lax.sort(
-            (jnp.negative(final), dgrid),
-            dimension=0,
-            is_stable=True,
-            num_keys=2,
-        )
-        top_scores = -neg[:k]
-        top_docs = dsort[:k]
+        top_scores, top_docs = _topk_in_tiles_q(scores, tsel, live_tiles, k)
 
-        # phase 4: exactness certificate
         if u_next is None:
             safe = jnp.ones((1,), jnp.float32)
         else:
@@ -385,6 +444,175 @@ def row_score_topk_pruned_or(
     return jax.vmap(one_query)(hidx, lidx)
 
 
+# Relative error bound for the bf16 approx pass: each contribution c >= 0
+# is stored as bf16(c) with |bf16(c)-c| <= 2^-9 c, and the MXU accumulates
+# the (exact) products in f32, adding at most n*2^-24 relative. 2^-7 gives
+# a 4x safety factor over the worst case.
+_APPROX_RELEPS = np.float32(2.0 ** -7)
+
+
+@partial(jax.jit, static_argnames=("k", "B", "use_pallas", "interpret"))
+def row_score_topk_approx_or(
+    heavy_bank,  # f32 [H, D] exact rows (rescore)
+    heavy_bank_bf16,  # bf16 [H8, D] approx copy (matmul)
+    light_bank,  # f32 [L, D] (row 0 all-zero)
+    light_bank_bf16,  # bf16 [L8, D]
+    live,  # f32 [D]
+    hidx,  # int32 [Q, Tq]
+    lidx,  # int32 [Q, Tq]
+    a_heavy,  # f32 [Q, H8] clause-indicator matrix
+    a_light,  # f32 [Q, L8]
+    *,
+    k: int,
+    B: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
+):
+    """MXU-selected pruned pure-OR scoring for query BATCHES.
+
+    Phase 1 computes an approximate score for EVERY doc with one bf16
+    matmul of the query-indicator matrix against the row banks — the bank
+    is read once per batch instead of once per (query, clause), the
+    decisive HBM-traffic win at scale. Contributions are nonnegative, so:
+
+    - approx > 0 iff some clause matches, making the live-masked positive
+      count the EXACT hit count (no separate bitmap pass);
+    - true_score <= approx * (1 + 2^-7) (relative bf16+accum bound), so
+      tile selection by that upper bound is provably exact; ties within
+      the margin fail the certificate and escalate.
+
+    Scores come from the same exact f32 rescore as the tile-UB kernel.
+    """
+    H, D = heavy_bank.shape
+    G = D // LANE
+    Bk = min(B, G)
+    heavy_tiles = heavy_bank.reshape(H * G, LANE)
+    light_tiles = light_bank.reshape(-1, LANE)
+    live_tiles = live.reshape(G, LANE)
+    light_small = light_bank.shape[0] == 1
+    Q = hidx.shape[0]
+
+    if use_pallas:
+        from diagon_tpu.ops.pallas.approx_pass import pallas_approx_pass
+
+        tmax, cnt = pallas_approx_pass(
+            a_heavy.T.astype(jnp.bfloat16),
+            heavy_bank_bf16,
+            live,
+            a_light.T.astype(jnp.bfloat16) if not light_small else None,
+            light_bank_bf16 if not light_small else None,
+            interpret=interpret,
+        )
+        hits = jnp.sum(cnt, axis=1, dtype=jnp.int32)  # [Q] EXACT
+    else:
+        approx = jnp.dot(
+            a_heavy.astype(jnp.bfloat16),
+            heavy_bank_bf16,
+            preferred_element_type=jnp.float32,
+        )  # [Q, D]
+        if not light_small:
+            approx = approx + jnp.dot(
+                a_light.astype(jnp.bfloat16),
+                light_bank_bf16,
+                preferred_element_type=jnp.float32,
+            )
+        match = (approx > 0) & (live[None, :] > 0)
+        hits = jnp.sum(match, axis=1, dtype=jnp.int32)  # [Q] EXACT
+        tmax = approx.reshape(Q, G, LANE).max(axis=-1)
+    tile_upper = tmax * (jnp.float32(1.0) + _APPROX_RELEPS)  # [Q, G]
+
+    def one_query(hidx_q, lidx_q, upper_q):
+        if Bk < G:
+            utop, tfull = jax.lax.top_k(upper_q, Bk + 1)
+            tsel = jnp.sort(tfull[:Bk])  # docid order for the rank stage
+            u_next = utop[Bk]
+        else:
+            tsel = jnp.arange(G, dtype=jnp.int32)
+            u_next = None
+        scores = _rescore_tiles_q(
+            hidx_q, lidx_q, tsel, heavy_tiles, light_tiles, G, light_small
+        )
+        top_scores, top_docs = _topk_in_tiles_q(scores, tsel, live_tiles, k)
+        if u_next is None:
+            safe = jnp.ones((1,), jnp.float32)
+        else:
+            theta = top_scores[k - 1]
+            # u_next <= 0 means the unselected tiles are empty (approx of
+            # nonnegative contributions): safe.
+            safe = ((theta > u_next) | (u_next <= 0)).astype(jnp.float32)[
+                None
+            ]
+        return jnp.concatenate([top_scores, top_docs.astype(jnp.float32), safe])
+
+    fused = jax.vmap(one_query)(hidx, lidx, tile_upper)  # [Q, 2k+1]
+    return jnp.concatenate(
+        [
+            fused[:, : 2 * k],
+            hits[:, None].astype(jnp.float32),
+            fused[:, 2 * k :],
+        ],
+        axis=1,
+    )
+
+
+@partial(jax.jit, static_argnames=("H", "D", "F"))
+def _build_bank_device(
+    packed,  # u32 [W] shared word stream
+    woff,  # i32 [NBh] word offset of each selected block
+    dbits,  # i32 [NBh]
+    fbits,  # i32 [NBh]
+    base,  # i32 [NBh] first docid
+    count,  # i32 [NBh]
+    rowid,  # i32 [NBh] target bank row of each block's term
+    idf,  # f32 [NBh] per-block term idf (the row scale)
+    norms,  # i32 [D]
+    lut,  # f32 [128*F] host-precomputed tf table
+    *,
+    H: int,
+    D: int,
+    F: int,
+):
+    """Decode selected posting blocks and materialize dense score rows —
+    entirely on device (the host here has a single slow core; 10^8-posting
+    numpy decodes take minutes, the TPU does this in seconds).
+
+    Bit-exactness: the LUT values are the host table verbatim and the one
+    f32 multiply (idf * tf) is IEEE round-to-nearest — identical to the
+    numpy scalar product the oracle computes. The scatter is .set with
+    unique (row, doc) targets, so no accumulation-order concerns.
+    """
+    NBh = woff.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NBh, LANE), 1)
+
+    def extract(bits, base_word):
+        bitpos = lane * bits[:, None]
+        widx = base_word[:, None] + (bitpos >> 5)
+        shift = (bitpos & 31).astype(jnp.uint32)
+        lo = packed[widx] >> shift
+        hi = jnp.where(
+            shift == 0,
+            jnp.uint32(0),
+            packed[widx + 1] << (jnp.uint32(32) - shift),
+        )
+        mask = (
+            jnp.uint32(1) << bits[:, None].astype(jnp.uint32)
+        ) - jnp.uint32(1)
+        return ((lo | hi) & mask).astype(jnp.int32)
+
+    deltas = extract(dbits, woff)
+    dwords = (count * dbits + 31) >> 5
+    freqs = extract(fbits, woff + dwords)
+    docs = base[:, None] + jnp.cumsum(deltas, axis=1)
+    valid = lane < count[:, None]
+    docs = jnp.where(valid, docs, 0)
+    tf = lut[norms[docs] * F + jnp.clip(freqs, 0, F - 1)]
+    vals = idf[:, None] * tf
+    r = jnp.where(valid, rowid[:, None], H)  # invalid lanes -> dump row
+    bank = jnp.zeros((H + 1, D), jnp.float32)
+    bank = bank.at[r, docs].set(vals)
+    return bank[:H]
+
+
 class RowFieldIndex:
     """Host+device state to produce per-term dense score rows."""
 
@@ -397,28 +625,11 @@ class RowFieldIndex:
         tf_lut_host: np.ndarray,  # unscaled [128*F] f32 (idf=1)
         device=None,
     ):
-        from diagon_tpu.codecs.postings import decode_all_numpy
-
         self.pp = pp
         self.num_docs_pad = num_docs_pad
         self.tf_lut_host = np.asarray(tf_lut_host, np.float32)
         self.F = len(self.tf_lut_host) // 128
-
-        docs, freqs = decode_all_numpy(pp)
-        self.flat_docs = docs
-        self.flat_freqs = freqs
-        T = pp.num_terms
-        self.entry_start = np.zeros(T + 1, dtype=np.int64)
-        if T:
-            self.entry_start[:T] = pp.block_entry_start[pp.block_start[:T]]
-        self.entry_start[T] = len(docs)
-
-        norms_i = norms.astype(np.int64)
-        self.norms = norms_i
-        # per-posting unscaled tf factor (f32, oracle-identical)
-        self.tf_factor = self.tf_lut_host[
-            norms_i[docs] * self.F + np.minimum(freqs, self.F - 1)
-        ]
+        self.norms = norms.astype(np.int64)
 
         live = np.zeros(num_docs_pad, dtype=np.float32)
         n_real = len(norms)
@@ -440,24 +651,34 @@ class RowFieldIndex:
         self.heavy_bank = None
         self.heavy_ub = None
         self.heavy_bits = None
+        self.heavy_rowmax = None
+        self.heavy_bank_bf16 = None
 
     def host_row(self, tid: int, weight: np.float32) -> np.ndarray:
         """Dense f32 score row for one term: weight * tf_factor scattered
-        onto the doc axis (numpy — exact oracle arithmetic)."""
+        onto the doc axis (numpy block decode — exact oracle arithmetic;
+        used for light/boosted clauses whose df is small)."""
+        from diagon_tpu.codecs.postings import decode_block_numpy
+
         row = np.zeros(self.num_docs_pad, dtype=np.float32)
-        s, e = int(self.entry_start[tid]), int(self.entry_start[tid + 1])
-        row[self.flat_docs[s:e]] = (
-            np.float32(weight) * self.tf_factor[s:e]
-        ).astype(np.float32)
+        pp = self.pp
+        w = np.float32(weight)
+        for b in range(int(pp.block_start[tid]), int(pp.block_start[tid + 1])):
+            docs, freqs = decode_block_numpy(pp, b)
+            row[docs] = w * self.tf_lut_host[
+                self.norms[docs] * self.F + np.minimum(freqs, self.F - 1)
+            ]
         return row
 
     def build_heavy_bank(self, idf_of_tid) -> None:
-        """Materialize device rows for frequent terms.
+        """Materialize device rows for frequent terms (decode + scatter run
+        on device, _build_bank_device).
 
         idf_of_tid: callable tid -> np.float32 collection-level idf.
         """
-        T = self.pp.num_terms
-        df = self.pp.doc_freq
+        pp = self.pp
+        T = pp.num_terms
+        df = pp.doc_freq
         threshold = max(HEAVY_MIN_DF, self.num_docs_pad // HEAVY_FRACTION)
         heavy = np.nonzero(df >= threshold)[0]
         self.heavy_row_of_term = np.full(T, -1, dtype=np.int32)
@@ -466,13 +687,46 @@ class RowFieldIndex:
                 jnp.zeros((1, self.num_docs_pad), jnp.float32), self.device
             )
         else:
-            rows = np.zeros((len(heavy), self.num_docs_pad), dtype=np.float32)
-            for i, tid in enumerate(heavy):
-                self.heavy_row_of_term[tid] = i
-                rows[i] = self.host_row(int(tid), idf_of_tid(int(tid)))
-            self.heavy_bank = jax.device_put(jnp.asarray(rows), self.device)
+            self.heavy_row_of_term[heavy] = np.arange(
+                len(heavy), dtype=np.int32
+            )
+            # per-block metadata for every heavy term's blocks
+            bsel = np.concatenate(
+                [
+                    np.arange(
+                        int(pp.block_start[t]), int(pp.block_start[t + 1])
+                    )
+                    for t in heavy
+                ]
+            )
+            rowid = self.heavy_row_of_term[pp.block_term[bsel]]
+            idf = np.asarray(
+                [idf_of_tid(int(t)) for t in heavy], dtype=np.float32
+            )[rowid]
+            dev = lambda x: jax.device_put(jnp.asarray(x), self.device)
+            norms32 = np.zeros(self.num_docs_pad, dtype=np.int32)
+            norms32[: len(self.norms)] = self.norms
+            self.heavy_bank = _build_bank_device(
+                dev(pp.packed.view(np.uint32)),
+                dev(pp.block_word_off[bsel].astype(np.int32)),
+                dev(pp.block_doc_bits[bsel].astype(np.int32)),
+                dev(pp.block_freq_bits[bsel].astype(np.int32)),
+                dev(pp.block_base[bsel].astype(np.int32)),
+                dev(pp.block_count[bsel].astype(np.int32)),
+                dev(rowid.astype(np.int32)),
+                dev(idf),
+                dev(norms32),
+                dev(self.tf_lut_host),
+                H=len(heavy),
+                D=self.num_docs_pad,
+                F=self.F,
+            )
         if self.prunable:
             self.heavy_ub, self.heavy_bits = build_tile_aux(self.heavy_bank)
+            self.heavy_rowmax = self.heavy_ub.max(axis=1)
+            self.heavy_bank_bf16 = _pad_rows8(
+                self.heavy_bank.astype(jnp.bfloat16)
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -673,7 +927,9 @@ class RowExecutor:
         )
 
     def _stack(self, plans: Sequence[RowPlan]):
-        tq = _bucket(max(len(p.hidx) for p in plans))
+        # clause-count bucket: every scan step costs [Q, *] traffic, so use
+        # the tight multiple-of-4 bucket, not the power-of-2 one
+        tq = _bucket_tq(max(len(p.hidx) for p in plans))
 
         def pad(get, dtype, fill=0):
             out = np.full((len(plans), tq), fill, dtype=dtype)
@@ -700,8 +956,30 @@ class RowExecutor:
         light_aux = (
             build_tile_aux(light_bank) if self.index.prunable else (None, None)
         )
+        # clause-indicator matrices for the approx-matmul selection phase
+        # (widths match the 8-padded bf16 banks the matmul reads)
+        hidx_arr = pad(lambda p: p.hidx, np.int32, fill=-1)
+        if self.index.heavy_bank_bf16 is not None:
+            n_heavy_rows = int(self.index.heavy_bank_bf16.shape[0])
+        elif self.index.heavy_bank is not None:
+            n_heavy_rows = int(self.index.heavy_bank.shape[0])
+        else:
+            n_heavy_rows = 1
+        a_heavy = np.zeros((len(plans), n_heavy_rows), np.float32)
+        a_light = np.zeros((len(plans), -(-nrows // 8) * 8), np.float32)
+        for qi in range(len(plans)):
+            for hi, li in zip(hidx_arr[qi], lidx[qi]):
+                if hi >= 0:
+                    a_heavy[qi, hi] += 1.0
+                elif li > 0:
+                    a_light[qi, li] += 1.0
+        light_bf16 = (
+            _pad_rows8(light_bank.astype(jnp.bfloat16))
+            if self.index.prunable
+            else None
+        )
         return (
-            jnp.asarray(pad(lambda p: p.hidx, np.int32, fill=-1)),
+            jnp.asarray(hidx_arr),
             jnp.asarray(lidx),
             jnp.asarray(pad(lambda p: p.scoring, bool)),
             jnp.asarray(pad(lambda p: p.req, np.float32)),
@@ -712,6 +990,7 @@ class RowExecutor:
             ),
             light_bank,
             light_aux,
+            (jnp.asarray(a_heavy), jnp.asarray(a_light), light_bf16),
         )
 
     def _entry(self, plans: Sequence[RowPlan]):
@@ -725,9 +1004,10 @@ class RowExecutor:
         return entry
 
     def _args(self, plans: Sequence[RowPlan]):
-        (hidx, lidx, scoring, req, sho, neg, bool_params, light_bank, _aux) = (
-            self._entry(plans)[1]
-        )
+        (
+            hidx, lidx, scoring, req, sho, neg, bool_params, light_bank,
+            _aux, _amats,
+        ) = self._entry(plans)[1]
         return (
             self.index.heavy_bank,
             light_bank,
@@ -746,6 +1026,10 @@ class RowExecutor:
     # block-max pruning knobs (instance-overridable; tests force small ones)
     prune_min_docs: int = PRUNE_MIN_DOCS
     prune_B0: int = PRUNE_B0
+    # batches at least this large route phase 1 through the approx matmul
+    # (the bank read amortizes across the batch); below it, per-clause
+    # tile-UB rows are cheaper
+    approx_min_q: int = 8
 
     def _use_pruned(self, plans: Sequence[RowPlan]) -> bool:
         return (
@@ -756,7 +1040,9 @@ class RowExecutor:
         )
 
     def _dispatch_pruned(self, plans: Sequence[RowPlan], k: int):
-        (hidx, lidx, *_mid, light_bank, light_aux) = self._entry(plans)[1]
+        (hidx, lidx, *_mid, light_bank, light_aux, amats) = self._entry(
+            plans
+        )[1]
         idx = self.index
         G = idx.num_docs_pad // LANE
         B = min(G, max(self.prune_B0, -(-k // LANE) + 1))
@@ -765,6 +1051,26 @@ class RowExecutor:
             light_ub = jnp.zeros((1, G), jnp.float32)
             light_bits = jnp.zeros(
                 (1, idx.num_docs_pad // 32), jnp.uint32
+            )
+        if len(plans) >= self.approx_min_q:
+            import jax as _jax
+
+            a_heavy, a_light, light_bf16 = amats
+            return row_score_topk_approx_or(
+                idx.heavy_bank,
+                idx.heavy_bank_bf16,
+                light_bank,
+                light_bf16,
+                idx.live,
+                hidx,
+                lidx,
+                a_heavy,
+                a_light,
+                k=k,
+                B=B,
+                use_pallas=self.use_pallas
+                and idx.num_docs_pad % 1024 == 0,
+                interpret=_jax.default_backend() == "cpu",
             )
         return row_score_topk_pruned_or(
             idx.heavy_bank,

@@ -36,12 +36,14 @@ def _corpus(n_docs=900, vocab=60, seed=11):
     return flush_memory_index(mem, "_pr")
 
 
-def _force_pruned(searcher, field, b0):
+def _force_pruned(searcher, field, b0, approx_min_q=None):
     ctx = searcher._ctx(field)
     for ex in ctx.row_executors:
         if ex is not None:
             ex.prune_min_docs = 0
             ex.prune_B0 = b0
+            if approx_min_q is not None:
+                ex.approx_min_q = approx_min_q
     return ctx
 
 
@@ -63,11 +65,14 @@ QUERIES = [
 ]
 
 
+@pytest.mark.parametrize("approx_min_q", [1, 1000])
 @pytest.mark.parametrize("b0", [2, 8, 10_000])
-def test_pruned_or_parity(b0):
+def test_pruned_or_parity(b0, approx_min_q):
+    """approx_min_q=1 routes phase 1 through the MXU matmul selection;
+    1000 uses per-clause tile-UB rows. Both must be bit-exact."""
     seg = _corpus()
     searcher = IndexSearcher([seg])
-    _force_pruned(searcher, "body", b0)
+    _force_pruned(searcher, "body", b0, approx_min_q)
     oracle = OracleSearcher([seg])
     for terms in QUERIES:
         q = _or_query(terms)
@@ -100,11 +105,12 @@ def test_pruned_dispatch_is_used_and_certificate_honest():
     assert got.total_hits == want.total_hits
 
 
+@pytest.mark.parametrize("approx_min_q", [1, 1000])
 @pytest.mark.parametrize("b0", [2, 64])
-def test_pruned_batch_and_async_paths(b0):
+def test_pruned_batch_and_async_paths(b0, approx_min_q):
     seg = _corpus(n_docs=700, seed=5)
     searcher = IndexSearcher([seg])
-    _force_pruned(searcher, "body", b0)
+    _force_pruned(searcher, "body", b0, approx_min_q)
     oracle = OracleSearcher([seg])
     queries = [_or_query(t) for t in QUERIES]
     got_batch = searcher.search_batch(queries, 10)
@@ -138,11 +144,37 @@ def test_pruned_with_deletes():
         assert got.total_hits == want.total_hits, terms
 
 
+def test_approx_matmul_upper_bound_sound():
+    """The relative certificate bound must dominate the actual bf16 matmul
+    error (soundness of the exactness proof): for nonnegative banks,
+    true_score <= approx * (1 + 2^-7), and approx > 0 iff true > 0."""
+    import jax.numpy as jnp
+
+    from diagon_tpu.search.row_engine import _APPROX_RELEPS
+
+    rng = np.random.Generator(np.random.PCG64(8))
+    H, D, Q = 40, 4096, 16
+    bank = (rng.random((H, D)) * rng.random((H, 1)) * 14).astype(np.float32)
+    bank[rng.random((H, D)) < 0.6] = 0.0
+    a = (rng.random((Q, H)) < 0.4).astype(np.float32)
+    approx = np.asarray(
+        jnp.dot(
+            jnp.asarray(a).astype(jnp.bfloat16),
+            jnp.asarray(bank).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    )
+    exact = a.astype(np.float64) @ bank.astype(np.float64)
+    upper = approx * (np.float32(1.0) + _APPROX_RELEPS)
+    assert (upper >= exact).all(), float((exact - upper).max())
+    assert ((approx > 0) == (exact > 0)).all()
+
+
 def test_pruned_fuzz_random_or_queries():
     rng = np.random.Generator(np.random.PCG64(42))
     seg = _corpus(n_docs=800, vocab=40, seed=3)
     searcher = IndexSearcher([seg])
-    _force_pruned(searcher, "body", 6)
+    _force_pruned(searcher, "body", 6, approx_min_q=1)
     oracle = OracleSearcher([seg])
     vocab = [f"w{i}" for i in range(40)] + ["oil", "price", "rare1", "nope"]
     for _ in range(25):
