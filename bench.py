@@ -36,38 +36,53 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def build_or_load_segment(num_docs: int):
+def measure_indexing(num_docs: int) -> dict:
+    """Fresh ingest+flush measurement (docs materialized first, like the
+    reference's dataset adapter reading pre-parsed files —
+    reuters_benchmark.cpp times addDocument+flush, not file parsing)."""
     from diagon_tpu.bench.synthetic import corpus_documents
     from diagon_tpu.index.memory_index import MemoryIndex
     from diagon_tpu.index.segment import flush_memory_index
 
+    t0 = time.time()
+    docs = list(corpus_documents(num_docs=num_docs))
+    t_gen = time.time() - t0
+    mem = MemoryIndex()
+    t0 = time.time()
+    for doc in docs:
+        mem.add_document(doc)
+    t_ingest = time.time() - t0
+    t0 = time.time()
+    seg = flush_memory_index(mem, "_bench")
+    t_flush = time.time() - t0
+    return {
+        "corpus_gen_s": round(t_gen, 2),
+        "ingest_s": round(t_ingest, 2),
+        "flush_s": round(t_flush, 2),
+        "docs_per_s": round(num_docs / (t_ingest + t_flush)),
+        "_segment": seg,
+    }
+
+
+def build_or_load_segment(num_docs: int, fresh_stats: bool = True):
     os.makedirs(CACHE_DIR, exist_ok=True)
     cache = os.path.join(CACHE_DIR, f"segment_{num_docs}.pkl")
     if os.path.exists(cache):
         log(f"loading cached segment {cache}")
         with open(cache, "rb") as f:
             seg, build_stats = pickle.load(f)
+        if fresh_stats:
+            stats = measure_indexing(num_docs)
+            stats.pop("_segment")
+            return seg, stats
         return seg, build_stats
 
     log(f"building synthetic Reuters corpus ({num_docs} docs)...")
-    t0 = time.time()
-    mem = MemoryIndex()
-    n_tokens = 0
-    for doc in corpus_documents(num_docs=num_docs):
-        mem.add_document(doc)
-    t_ingest = time.time() - t0
-    t1 = time.time()
-    seg = flush_memory_index(mem, "_bench")
-    t_flush = time.time() - t1
-
-    build_stats = {
-        "ingest_s": t_ingest,
-        "flush_s": t_flush,
-        "docs_per_s": num_docs / (t_ingest + t_flush),
-    }
+    stats = measure_indexing(num_docs)
+    seg = stats.pop("_segment")
     with open(cache, "wb") as f:
-        pickle.dump((seg, build_stats), f, protocol=4)
-    return seg, build_stats
+        pickle.dump((seg, stats), f, protocol=4)
+    return seg, stats
 
 
 def index_bytes_per_doc(seg) -> dict:
@@ -183,12 +198,75 @@ def main():
     assert td.total_hits > 0 and len(td.score_docs) == 10
     log(f"or20 end-to-end (incl. tunnel readback): {Q / e2e:,.0f} qps")
 
+    # ---- scale: 1M-doc OR-20 batched throughput (if the cached segment
+    # exists; building the 1M corpus from scratch is a separate step:
+    # python bench.py --build-scale) ----
+    scale = {}
+    scale_cache = os.path.join(CACHE_DIR, "segment_1000000.pkl")
+    if not args.quick and os.path.exists(scale_cache):
+        with open(scale_cache, "rb") as f:
+            seg1m, _ = pickle.load(f)
+        t0 = time.time()
+        s1m = IndexSearcher([seg1m])
+        QS = 512
+        b1m = [or20] * QS
+        h = s1m.dispatch_batch(b1m, 10)
+        res1m = s1m.collect_batch(h)
+        log(f"scale setup (load+compile): {time.time() - t0:.1f}s")
+        from diagon_tpu.search.oracle import OracleSearcher as _O
+
+        w1m = _O([seg1m]).search(or20, 10)
+        g1m = res1m[0]
+        assert g1m.doc_ids() == w1m.doc_ids(), "1M parity FAIL"
+        assert g1m.total_hits == w1m.total_hits
+        for o, d_ in zip(w1m.score_docs, g1m.score_docs):
+            assert o.score == d_.score
+
+        def scale_trial(n):
+            t0 = time.perf_counter()
+            hs = [s1m.dispatch_batch(b1m, 10) for _ in range(n)]
+            _, _, parts = hs[-1]
+            np.asarray(parts[-1][2][0, 0])
+            return (time.perf_counter() - t0) / n
+
+        sts = [scale_trial(8) for _ in range(5)]
+        sqps = QS / min(sts)
+        scale = {
+            "or20_1m_qps": round(sqps),
+            "or20_1m_vs_baseline": round(sqps / BASELINE_OR20_QPS, 2),
+        }
+        log(f"scale 1M-doc or20 (bit-exact, batch={QS}): {sqps:,.0f} qps "
+            f"= {sqps / BASELINE_OR20_QPS:.2f}x baseline")
+        del s1m, seg1m
+
+    # ---- durable results file ----
+    try:
+        import datetime
+
+        with open("benchmarks/RESULTS.md", "a") as f:
+            f.write(
+                f"\n## {datetime.datetime.now().isoformat(timespec='seconds')}"
+                f" ({jax.default_backend()})\n\n"
+                f"- corpus: {num_docs} docs synthetic Reuters-shaped\n"
+                f"- indexing: {build_stats}\n"
+                f"- index size: {index_bytes_per_doc(seg)}\n"
+                f"- single-stream P50 us: "
+                f"{json.dumps({k: round(v, 1) for k, v in lat.items()})}\n"
+                f"- or20 device throughput: {qps:,.0f} qps "
+                f"({qps / BASELINE_OR20_QPS:.2f}x baseline)\n"
+                f"- or20 e2e (tunnel readback): {Q / e2e:,.0f} qps\n"
+                + (f"- scale: {scale}\n" if scale else "")
+            )
+    except Exception as exc:  # pragma: no cover
+        log(f"RESULTS.md write failed: {exc}")
+
     result = {
         "metric": "reuters_or20_throughput",
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / BASELINE_OR20_QPS, 2),
     }
+    result.update(scale)
     print(json.dumps(result))
 
 

@@ -259,6 +259,16 @@ def build_packed_postings_csr(
     if NE == 0 or T == 0:
         return build_packed_postings({}, None, norms)
 
+    try:
+        from diagon_tpu.native import _native as _nat
+    except Exception:  # pragma: no cover
+        _nat = None
+    if _nat is not None and hasattr(_nat, "pack_blocks"):
+        return _pack_blocks_native(
+            _nat, terms, entry_start, docs, freqs, pos_start, positions,
+            norms,
+        )
+
     # --- entry -> term / block mapping (all vectorized) -----------------
     ent_term = np.repeat(np.arange(T, dtype=np.int64), df)
     ent_pos_in_term = np.arange(NE, dtype=np.int64) - entry_start[ent_term]
@@ -377,6 +387,57 @@ def build_packed_postings_csr(
         sum_total_tf=int(freqs.sum()),
         sum_doc_freq=int(NE),
         max_window_words=max_window,
+    )
+    if pos_start is not None:
+        pp.pos_start = np.asarray(pos_start, dtype=np.int64)
+        pp.positions = (
+            np.asarray(positions, dtype=np.int32)
+            if positions is not None and len(positions)
+            else np.zeros(0, dtype=np.int32)
+        )
+    return pp
+
+
+def _pack_blocks_native(
+    _nat, terms, entry_start, docs, freqs, pos_start, positions, norms
+) -> PackedPostings:
+    """C++ packer (native/_native.cpp pack_blocks) — bit-identical output
+    to the numpy path below, one pass on one core (this host's single slow
+    core makes the numpy bincount/scatter version the flush bottleneck)."""
+    docs32 = np.ascontiguousarray(docs, dtype=np.int32)
+    freqs32 = np.ascontiguousarray(freqs, dtype=np.int32)
+    norms_b = (
+        np.ascontiguousarray(norms, dtype=np.uint8).tobytes()
+        if norms is not None
+        else b""
+    )
+    (
+        block_start, b_term, b_base, b_count, b_dbits, b_fbits, b_woff,
+        b_maxf, b_maxn, b_estart, packed, max_window, doc_freq, total_tf,
+    ) = _nat.pack_blocks(
+        np.ascontiguousarray(entry_start, dtype=np.int64).tobytes(),
+        docs32.tobytes(),
+        freqs32.tobytes(),
+        norms_b,
+    )
+    pp = PackedPostings(
+        terms=list(terms),
+        block_start=np.frombuffer(block_start, np.int32),
+        doc_freq=np.frombuffer(doc_freq, np.int32),
+        total_tf=np.frombuffer(total_tf, np.int64),
+        block_term=np.frombuffer(b_term, np.int32),
+        block_base=np.frombuffer(b_base, np.int32),
+        block_count=np.frombuffer(b_count, np.int32),
+        block_doc_bits=np.frombuffer(b_dbits, np.int32),
+        block_freq_bits=np.frombuffer(b_fbits, np.int32),
+        block_word_off=np.frombuffer(b_woff, np.int32),
+        block_max_freq=np.frombuffer(b_maxf, np.int32),
+        block_max_norm=np.frombuffer(b_maxn, np.int32),
+        block_entry_start=np.frombuffer(b_estart, np.int64),
+        packed=np.frombuffer(packed, np.uint32),
+        sum_total_tf=int(np.frombuffer(total_tf, np.int64).sum()),
+        sum_doc_freq=int(len(docs32)),
+        max_window_words=int(max_window),
     )
     if pos_start is not None:
         pp.pos_start = np.asarray(pos_start, dtype=np.int64)

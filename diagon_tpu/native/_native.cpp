@@ -281,9 +281,202 @@ PyTypeObject FreqProxType = {
     sizeof(FreqProxObject),                 /* tp_basicsize */
 };
 
+// ---------------------------------------------------------------------
+// pack_blocks: CSR postings -> bit-packed 128-doc block arrays
+// ---------------------------------------------------------------------
+//
+// One C++ pass replacing the numpy scatter/bincount packer
+// (codecs/postings.py build_packed_postings_csr): this host has a single
+// slow core, and the vectorized-numpy version dominates segment flush.
+// Output arrays are BIT-IDENTICAL to the numpy packer (tests compare).
+//
+// pack_blocks(entry_start: bytes int64[T+1], docs: bytes int32[NE],
+//             freqs: bytes int32[NE], norms: bytes uint8[D] or b"") ->
+//   (block_start i32[T+1], block_term i32[NB], block_base i32[NB],
+//    block_count i32[NB], doc_bits i32[NB], freq_bits i32[NB],
+//    word_off i32[NB], max_freq i32[NB], max_norm i32[NB],
+//    block_entry_start i64[NB+1], packed u32[W], max_window: int,
+//    doc_freq i32[T], total_tf i64[T])
+
+constexpr int kBlock = 128;
+
+inline int bits_for(int64_t v) {
+    if (v <= 0) return 1;
+    int b = 0;
+    while (v) { b++; v >>= 1; }
+    return b;
+}
+
+PyObject* pack_blocks(PyObject*, PyObject* args) {
+    Py_buffer eb, db, fb, nb;
+    if (!PyArg_ParseTuple(args, "y*y*y*y*", &eb, &db, &fb, &nb))
+        return nullptr;
+    const int64_t* entry_start = static_cast<const int64_t*>(eb.buf);
+    const int32_t* docs = static_cast<const int32_t*>(db.buf);
+    const int32_t* freqs = static_cast<const int32_t*>(fb.buf);
+    const uint8_t* norms =
+        nb.len > 0 ? static_cast<const uint8_t*>(nb.buf) : nullptr;
+    size_t T = static_cast<size_t>(eb.len / 8) - 1;
+    size_t NE = static_cast<size_t>(db.len / 4);
+
+    std::vector<int32_t> block_start(T + 1);
+    std::vector<int32_t> doc_freq(T);
+    std::vector<int64_t> total_tf(T, 0);
+
+    size_t NB = 0;
+    for (size_t t = 0; t < T; t++) {
+        block_start[t] = static_cast<int32_t>(NB);
+        int64_t df = entry_start[t + 1] - entry_start[t];
+        doc_freq[t] = static_cast<int32_t>(df);
+        NB += static_cast<size_t>((df + kBlock - 1) / kBlock);
+    }
+    block_start[T] = static_cast<int32_t>(NB);
+
+    std::vector<int32_t> b_term(NB), b_base(NB), b_count(NB), b_dbits(NB),
+        b_fbits(NB), b_woff(NB), b_maxf(NB), b_maxn(NB);
+    std::vector<int64_t> b_estart(NB + 1);
+
+    // pass 1: per-block metadata + word layout
+    int64_t word_off = 0;
+    int64_t max_window = 1;
+    size_t nb_i = 0;
+    for (size_t t = 0; t < T; t++) {
+        int64_t s = entry_start[t], e = entry_start[t + 1];
+        for (int64_t bs = s; bs < e; bs += kBlock, nb_i++) {
+            int64_t be = bs + kBlock < e ? bs + kBlock : e;
+            int count = static_cast<int>(be - bs);
+            int64_t max_delta = 0, max_freq = 0;
+            int max_norm = norms ? 0 : 127;
+            int64_t prev = docs[bs];
+            int64_t tf = 0;
+            for (int64_t j = bs; j < be; j++) {
+                int64_t d = docs[j] - prev;
+                prev = docs[j];
+                if (j == bs) d = 0;
+                if (d > max_delta) max_delta = d;
+                if (freqs[j] > max_freq) max_freq = freqs[j];
+                tf += freqs[j];
+                if (norms) {
+                    int n = norms[docs[j]];
+                    if (n > max_norm) max_norm = n;
+                }
+            }
+            total_tf[t] += tf;
+            int dbits = bits_for(max_delta);
+            int fbits = bits_for(max_freq);
+            b_term[nb_i] = static_cast<int32_t>(t);
+            b_base[nb_i] = docs[bs];
+            b_count[nb_i] = count;
+            b_dbits[nb_i] = dbits;
+            b_fbits[nb_i] = fbits;
+            b_woff[nb_i] = static_cast<int32_t>(word_off);
+            b_maxf[nb_i] = static_cast<int32_t>(max_freq);
+            b_maxn[nb_i] = max_norm;
+            b_estart[nb_i] = bs;
+            int64_t dwords = (int64_t(count) * dbits + 31) >> 5;
+            int64_t fwords = (int64_t(count) * fbits + 31) >> 5;
+            word_off += dwords + fwords;
+            int64_t window = ((int64_t(kBlock) * dbits + 31) >> 5) +
+                             ((int64_t(kBlock) * fbits + 31) >> 5);
+            if (window > max_window) max_window = window;
+        }
+    }
+    b_estart[NB] = static_cast<int64_t>(NE);
+
+    // pass 2: bit packing (little-endian within u32 words, value i at
+    // bitpos i*bits — identical layout to codecs/bitpack.pack_u32)
+    std::vector<uint32_t> packed(
+        static_cast<size_t>(word_off + max_window + 1), 0);
+    for (size_t b = 0; b < NB; b++) {
+        int64_t bs = b_estart[b];
+        int count = b_count[b];
+        int dbits = b_dbits[b];
+        int fbits = b_fbits[b];
+        uint32_t* dw = packed.data() + b_woff[b];
+        int64_t prev = docs[bs];
+        for (int i = 0; i < count; i++) {
+            uint64_t v = 0;
+            if (i > 0) {
+                v = static_cast<uint64_t>(docs[bs + i] - prev);
+            }
+            prev = docs[bs + i];
+            int64_t bitpos = int64_t(i) * dbits;
+            dw[bitpos >> 5] |= static_cast<uint32_t>(v << (bitpos & 31));
+            int sh = static_cast<int>(bitpos & 31);
+            if (sh) dw[(bitpos >> 5) + 1] |=
+                static_cast<uint32_t>(v >> (32 - sh));
+        }
+        uint32_t* fw = dw + ((int64_t(count) * dbits + 31) >> 5);
+        for (int i = 0; i < count; i++) {
+            uint64_t v = static_cast<uint64_t>(freqs[bs + i]);
+            int64_t bitpos = int64_t(i) * fbits;
+            fw[bitpos >> 5] |= static_cast<uint32_t>(v << (bitpos & 31));
+            int sh = static_cast<int>(bitpos & 31);
+            if (sh) fw[(bitpos >> 5) + 1] |=
+                static_cast<uint32_t>(v >> (32 - sh));
+        }
+    }
+
+    PyBuffer_Release(&eb);
+    PyBuffer_Release(&db);
+    PyBuffer_Release(&fb);
+    PyBuffer_Release(&nb);
+
+    auto mk = [](const void* data, size_t nbytes) {
+        return PyBytes_FromStringAndSize(
+            static_cast<const char*>(data), static_cast<Py_ssize_t>(nbytes));
+    };
+    return Py_BuildValue(
+        "(NNNNNNNNNNNlNN)",
+        mk(block_start.data(), block_start.size() * 4),
+        mk(b_term.data(), NB * 4),
+        mk(b_base.data(), NB * 4),
+        mk(b_count.data(), NB * 4),
+        mk(b_dbits.data(), NB * 4),
+        mk(b_fbits.data(), NB * 4),
+        mk(b_woff.data(), NB * 4),
+        mk(b_maxf.data(), NB * 4),
+        mk(b_maxn.data(), NB * 4),
+        mk(b_estart.data(), (NB + 1) * 8),
+        mk(packed.data(), packed.size() * 4),
+        static_cast<long>(max_window),
+        mk(doc_freq.data(), T * 4),
+        mk(total_tf.data(), T * 8));
+}
+
+// pack_bits(values: bytes int32[N], bits: int) -> bytes u32 words
+// (the pack_u32 layout; used for the on-disk positions section)
+PyObject* pack_bits_fn(PyObject*, PyObject* args) {
+    Py_buffer vb;
+    int bits;
+    if (!PyArg_ParseTuple(args, "y*i", &vb, &bits)) return nullptr;
+    const int32_t* vals = static_cast<const int32_t*>(vb.buf);
+    size_t N = static_cast<size_t>(vb.len / 4);
+    size_t W = (N * static_cast<size_t>(bits) + 31) / 32;
+    std::vector<uint32_t> out(W ? W : 0, 0);
+    for (size_t i = 0; i < N; i++) {
+        uint64_t v = static_cast<uint64_t>(static_cast<uint32_t>(vals[i]));
+        size_t bitpos = i * static_cast<size_t>(bits);
+        out[bitpos >> 5] |= static_cast<uint32_t>(v << (bitpos & 31));
+        int sh = static_cast<int>(bitpos & 31);
+        // spill word: always in range when its bits are nonzero, because
+        // W*32 >= N*bits covers every value's bit span
+        if (sh && (bitpos >> 5) + 1 < out.size())
+            out[(bitpos >> 5) + 1] |= static_cast<uint32_t>(v >> (32 - sh));
+    }
+    PyBuffer_Release(&vb);
+    return PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(out.data()),
+        static_cast<Py_ssize_t>(out.size() * 4));
+}
+
 PyMethodDef module_methods[] = {
     {"standard_tokenize_ascii", standard_tokenize_ascii, METH_O,
      "ASCII StandardTokenizer (alnum runs + apostrophes, lowercased)"},
+    {"pack_blocks", pack_blocks, METH_VARARGS,
+     "CSR postings -> bit-packed 128-doc block arrays"},
+    {"pack_bits", pack_bits_fn, METH_VARARGS,
+     "bit-pack int32 values at a fixed width (pack_u32 layout)"},
     {nullptr, nullptr, 0, nullptr}};
 
 PyModuleDef native_module = {
