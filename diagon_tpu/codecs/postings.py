@@ -159,9 +159,15 @@ def build_packed_postings(
             count = e - s
             deltas = np.diff(bdocs, prepend=bdocs[0])
             dbits = bits_needed(int(deltas.max()) if count > 1 else 0)
-            fbits = bits_needed(int(bfreqs.max()))
+            maxf = int(bfreqs.max())
+            if maxf == 1:
+                # all-freq-1 block: freq section omitted (fbits == 0)
+                fbits = 0
+                fwords = np.zeros(0, dtype=np.uint32)
+            else:
+                fbits = bits_needed(maxf)
+                fwords = pack_u32(bfreqs, fbits)
             dwords = pack_u32(deltas, dbits)
-            fwords = pack_u32(bfreqs, fbits)
 
             b_term.append(tid)
             b_base.append(int(bdocs[0]))
@@ -323,6 +329,8 @@ def build_packed_postings_csr(
     )
     under = block_max_freq_arr >= (np.int64(1) << block_freq_bits)
     block_freq_bits[under] += 1
+    # all-freq-1 blocks omit the freq section (fbits == 0)
+    block_freq_bits[block_max_freq_arr == 1] = 0
 
     # --- word layout -------------------------------------------------------
     cnt64 = block_count.astype(np.int64)
@@ -354,6 +362,11 @@ def build_packed_postings_csr(
         lo = (vals << shift) & np.uint64(0xFFFFFFFF)
         hi = np.where(shift == 0, np.uint64(0),
                       vals >> (np.uint64(32) - shift))
+        # zero-width sections (all-freq-1 blocks) write nothing
+        zero = bits_e == 0
+        if zero.any():
+            lo = np.where(zero, np.uint64(0), lo)
+            hi = np.where(zero, np.uint64(0), hi)
         # bincount instead of np.add.at (~20x faster); word sums < 2^32 are
         # exact in the float64 accumulation.
         idx = np.concatenate([widx, widx + 1])
@@ -497,10 +510,10 @@ def decode_all_numpy(pp: PackedPostings) -> Tuple[np.ndarray, np.ndarray]:
     )
 
     dwords = (counts * dbits + 31) >> 5
-    freqs = unpack(
-        pp.block_freq_bits.astype(np.int64),
-        pp.block_word_off.astype(np.int64) + dwords,
-    )
+    fbits = pp.block_freq_bits.astype(np.int64)
+    freqs = unpack(fbits, pp.block_word_off.astype(np.int64) + dwords)
+    # fbits == 0 encodes an all-freq-1 block (no freq section)
+    freqs = np.where(fbits[ent_block] == 0, 1, freqs)
     return docs.astype(np.int32), freqs.astype(np.int32)
 
 
@@ -513,8 +526,13 @@ def decode_block_numpy(pp: PackedPostings, b: int) -> Tuple[np.ndarray, np.ndarr
     fb = int(pp.block_freq_bits[b])
     off = int(pp.block_word_off[b])
     dw = words_for(count, db)
-    fw = words_for(count, fb)
     deltas = unpack_u32_numpy(pp.packed[off : off + dw], db, count)
-    freqs = unpack_u32_numpy(pp.packed[off + dw : off + dw + fw], fb, count)
+    if fb == 0:  # all-freq-1 block: no freq section
+        freqs = np.ones(count, dtype=np.uint32)
+    else:
+        fw = words_for(count, fb)
+        freqs = unpack_u32_numpy(
+            pp.packed[off + dw : off + dw + fw], fb, count
+        )
     docs = int(pp.block_base[b]) + np.cumsum(deltas.astype(np.int64))
     return docs.astype(np.int32), freqs.astype(np.int32)

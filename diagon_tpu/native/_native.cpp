@@ -363,7 +363,9 @@ PyObject* pack_blocks(PyObject*, PyObject* args) {
             }
             total_tf[t] += tf;
             int dbits = bits_for(max_delta);
-            int fbits = bits_for(max_freq);
+            // fbits == 0 encodes an all-freq-1 block: the freq section is
+            // omitted entirely (most blocks of light terms qualify)
+            int fbits = (max_freq == 1) ? 0 : bits_for(max_freq);
             b_term[nb_i] = static_cast<int32_t>(t);
             b_base[nb_i] = docs[bs];
             b_count[nb_i] = count;
@@ -406,14 +408,16 @@ PyObject* pack_blocks(PyObject*, PyObject* args) {
             if (sh) dw[(bitpos >> 5) + 1] |=
                 static_cast<uint32_t>(v >> (32 - sh));
         }
-        uint32_t* fw = dw + ((int64_t(count) * dbits + 31) >> 5);
-        for (int i = 0; i < count; i++) {
-            uint64_t v = static_cast<uint64_t>(freqs[bs + i]);
-            int64_t bitpos = int64_t(i) * fbits;
-            fw[bitpos >> 5] |= static_cast<uint32_t>(v << (bitpos & 31));
-            int sh = static_cast<int>(bitpos & 31);
-            if (sh) fw[(bitpos >> 5) + 1] |=
-                static_cast<uint32_t>(v >> (32 - sh));
+        if (fbits > 0) {
+            uint32_t* fw = dw + ((int64_t(count) * dbits + 31) >> 5);
+            for (int i = 0; i < count; i++) {
+                uint64_t v = static_cast<uint64_t>(freqs[bs + i]);
+                int64_t bitpos = int64_t(i) * fbits;
+                fw[bitpos >> 5] |= static_cast<uint32_t>(v << (bitpos & 31));
+                int sh = static_cast<int>(bitpos & 31);
+                if (sh) fw[(bitpos >> 5) + 1] |=
+                    static_cast<uint32_t>(v >> (32 - sh));
+            }
         }
     }
 
@@ -470,6 +474,87 @@ PyObject* pack_bits_fn(PyObject*, PyObject* args) {
         static_cast<Py_ssize_t>(out.size() * 4));
 }
 
+// decode_freqs(count: bytes i32[NB], doc_bits: bytes i32[NB],
+//              freq_bits: bytes i32[NB], word_off: bytes i32[NB],
+//              packed: bytes u32[W]) -> bytes i32[NE]
+// Decodes every block's freq section (fbits==0 -> all 1s). Read-path
+// counterpart of pack_blocks (pos_start = cumsum of these freqs).
+PyObject* decode_freqs(PyObject*, PyObject* args) {
+    Py_buffer cb, dbb, fbb, wob, pb;
+    if (!PyArg_ParseTuple(args, "y*y*y*y*y*", &cb, &dbb, &fbb, &wob, &pb))
+        return nullptr;
+    const int32_t* count = static_cast<const int32_t*>(cb.buf);
+    const int32_t* dbits = static_cast<const int32_t*>(dbb.buf);
+    const int32_t* fbits = static_cast<const int32_t*>(fbb.buf);
+    const int32_t* woff = static_cast<const int32_t*>(wob.buf);
+    const uint32_t* packed = static_cast<const uint32_t*>(pb.buf);
+    size_t NB = static_cast<size_t>(cb.len / 4);
+    size_t NE = 0;
+    for (size_t b = 0; b < NB; b++) NE += static_cast<size_t>(count[b]);
+    std::vector<int32_t> freqs(NE);
+    size_t e = 0;
+    for (size_t b = 0; b < NB; b++) {
+        int c = count[b];
+        int fb = fbits[b];
+        if (fb == 0) {
+            for (int i = 0; i < c; i++) freqs[e + i] = 1;
+        } else {
+            const uint32_t* fw =
+                packed + woff[b] + ((int64_t(c) * dbits[b] + 31) >> 5);
+            for (int i = 0; i < c; i++) {
+                int64_t bitpos = int64_t(i) * fb;
+                uint64_t w = fw[bitpos >> 5];
+                int sh = static_cast<int>(bitpos & 31);
+                uint64_t v = w >> sh;
+                if (sh) v |= static_cast<uint64_t>(fw[(bitpos >> 5) + 1])
+                             << (32 - sh);
+                freqs[e + i] =
+                    static_cast<int32_t>(v & ((uint64_t(1) << fb) - 1));
+            }
+        }
+        e += static_cast<size_t>(c);
+    }
+    PyBuffer_Release(&cb);
+    PyBuffer_Release(&dbb);
+    PyBuffer_Release(&fbb);
+    PyBuffer_Release(&wob);
+    PyBuffer_Release(&pb);
+    return PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(freqs.data()),
+        static_cast<Py_ssize_t>(freqs.size() * 4));
+}
+
+// positions_from_deltas(lo: bytes u8[NP], hi: bytes u8[NP],
+//                       freqs: bytes i32[NE]) -> bytes i32[NP]
+// Rebuild absolute positions from per-entry deltas (first-of-entry is
+// the absolute position; byte-plane split u16 deltas).
+PyObject* positions_from_deltas(PyObject*, PyObject* args) {
+    Py_buffer lob, hib, fqb;
+    if (!PyArg_ParseTuple(args, "y*y*y*", &lob, &hib, &fqb)) return nullptr;
+    const uint8_t* lo = static_cast<const uint8_t*>(lob.buf);
+    const uint8_t* hi = static_cast<const uint8_t*>(hib.buf);
+    const int32_t* freqs = static_cast<const int32_t*>(fqb.buf);
+    size_t NP = static_cast<size_t>(lob.len);
+    size_t NE = static_cast<size_t>(fqb.len / 4);
+    std::vector<int32_t> pos(NP);
+    size_t i = 0;
+    for (size_t e = 0; e < NE; e++) {
+        int32_t cur = 0;
+        for (int32_t j = 0; j < freqs[e]; j++, i++) {
+            int32_t d = static_cast<int32_t>(lo[i]) |
+                        (static_cast<int32_t>(hi[i]) << 8);
+            cur = (j == 0) ? d : cur + d;
+            pos[i] = cur;
+        }
+    }
+    PyBuffer_Release(&lob);
+    PyBuffer_Release(&hib);
+    PyBuffer_Release(&fqb);
+    return PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(pos.data()),
+        static_cast<Py_ssize_t>(pos.size() * 4));
+}
+
 PyMethodDef module_methods[] = {
     {"standard_tokenize_ascii", standard_tokenize_ascii, METH_O,
      "ASCII StandardTokenizer (alnum runs + apostrophes, lowercased)"},
@@ -477,6 +562,10 @@ PyMethodDef module_methods[] = {
      "CSR postings -> bit-packed 128-doc block arrays"},
     {"pack_bits", pack_bits_fn, METH_VARARGS,
      "bit-pack int32 values at a fixed width (pack_u32 layout)"},
+    {"decode_freqs", decode_freqs, METH_VARARGS,
+     "decode every block's freq section -> i32[NE]"},
+    {"positions_from_deltas", positions_from_deltas, METH_VARARGS,
+     "rebuild absolute positions from byte-plane u16 entry deltas"},
     {nullptr, nullptr, 0, nullptr}};
 
 PyModuleDef native_module = {

@@ -50,7 +50,13 @@ def unpack_lanes(
         jnp.uint32(0),
         w1 << (jnp.uint32(32) - shift),
     )
-    mask = jnp.uint32(0xFFFFFFFF) >> (jnp.uint32(32) - bits_u)
+    # bits == 0 is a valid width (empty section, e.g. an all-freq-1 freq
+    # section): decode as 0 (callers substitute the implied value)
+    mask = jnp.where(
+        bits_u == 0,
+        jnp.uint32(0),
+        jnp.uint32(0xFFFFFFFF) >> (jnp.uint32(32) - jnp.maximum(bits_u, 1)),
+    )
     return ((lo | hi) & mask).astype(jnp.int32)
 
 
@@ -86,6 +92,8 @@ def decode_doc_blocks(
     # Freq section starts word-aligned after ceil(count*doc_bits/32) words.
     dwords = (count * doc_bits + 31) >> 5
     freqs = unpack_lanes(window, freq_bits, dwords)
+    # freq_bits == 0 encodes an all-freq-1 block (no freq section on disk)
+    freqs = jnp.where(freq_bits[:, None] == 0, jnp.int32(1), freqs)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     valid = lane < count[:, None]

@@ -602,6 +602,8 @@ def _build_bank_device(
     deltas = extract(dbits, woff)
     dwords = (count * dbits + 31) >> 5
     freqs = extract(fbits, woff + dwords)
+    # fbits == 0 encodes an all-freq-1 block (no freq section)
+    freqs = jnp.where(fbits[:, None] == 0, jnp.int32(1), freqs)
     docs = base[:, None] + jnp.cumsum(deltas, axis=1)
     valid = lane < count[:, None]
     docs = jnp.where(valid, docs, 0)

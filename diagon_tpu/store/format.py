@@ -153,11 +153,104 @@ def _unpack_strings(blob: np.ndarray, offs: np.ndarray) -> List[bytes]:
     return [raw[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]
 
 
+def _front_code(strings: List[bytes]) -> Dict[str, np.ndarray]:
+    """Front-coded sorted term dictionary (the role of the reference's
+    BlockTree prefix sharing, BlockTreeTermsWriter.h:30-47): per term a
+    shared-prefix length (vs the previous term) and the suffix bytes."""
+    prefix_lens = np.zeros(len(strings), dtype=np.uint8)
+    suffix_lens = np.zeros(len(strings), dtype=np.int64)
+    chunks = []
+    prev = b""
+    for i, s in enumerate(strings):
+        n = min(len(s), len(prev), 255)
+        p = 0
+        while p < n and s[p] == prev[p]:
+            p += 1
+        prefix_lens[i] = p
+        suf = s[p:]
+        suffix_lens[i] = len(suf)
+        chunks.append(suf)
+        prev = s
+    blob = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    if len(suffix_lens) == 0 or suffix_lens.max() < 256:
+        sl = suffix_lens.astype(np.uint8)
+    elif suffix_lens.max() < 65536:
+        sl = suffix_lens.astype(np.uint16)
+    else:
+        sl = suffix_lens.astype(np.int32)
+    return {"suffix_bytes": blob, "prefix_lens": prefix_lens,
+            "suffix_lens": sl}
+
+
+def _front_decode(
+    blob: np.ndarray, prefix_lens: np.ndarray, suffix_lens: np.ndarray
+) -> List[bytes]:
+    raw = blob.tobytes()
+    out: List[bytes] = []
+    off = 0
+    prev = b""
+    for i in range(len(prefix_lens)):
+        ln = int(suffix_lens[i])
+        s = prev[: int(prefix_lens[i])] + raw[off : off + ln]
+        off += ln
+        out.append(s)
+        prev = s
+    return out
+
+
+def _narrow(arr: np.ndarray) -> np.ndarray:
+    """int64 -> int32 when values fit (dtype is carried by the bundle
+    header, so readers stay agnostic)."""
+    if arr.dtype == np.int64 and (len(arr) == 0 or
+                                  (arr.min() >= -(2 ** 31)
+                                   and arr.max() < 2 ** 31)):
+        return arr.astype(np.int32)
+    if arr.dtype == np.int32 and (len(arr) == 0 or
+                                  (arr.min() >= 0 and arr.max() < 65536)):
+        return arr.astype(np.uint16)
+    return arr
+
+
+def _decode_freqs_all(pp: PackedPostings) -> np.ndarray:
+    """All freqs in segment posting order (native fast path)."""
+    try:
+        from diagon_tpu.native import _native as _nat
+    except Exception:  # pragma: no cover
+        _nat = None
+    if _nat is not None and hasattr(_nat, "decode_freqs"):
+        return np.frombuffer(
+            _nat.decode_freqs(
+                np.ascontiguousarray(pp.block_count, np.int32).tobytes(),
+                np.ascontiguousarray(pp.block_doc_bits, np.int32).tobytes(),
+                np.ascontiguousarray(pp.block_freq_bits, np.int32).tobytes(),
+                np.ascontiguousarray(pp.block_word_off, np.int32).tobytes(),
+                np.ascontiguousarray(pp.packed, np.uint32).tobytes(),
+            ),
+            np.int32,
+        )
+    from diagon_tpu.codecs.postings import decode_all_numpy
+
+    return decode_all_numpy(pp)[1]
+
+
+def _positions_from_deltas_numpy(
+    deltas: np.ndarray, freqs_all: np.ndarray, pos_start: np.ndarray
+) -> np.ndarray:
+    cs = np.cumsum(deltas)
+    starts = pos_start[:-1].astype(np.int64)
+    base = cs[starts] - deltas[starts]
+    ent_of = np.repeat(
+        np.arange(len(freqs_all), dtype=np.int64),
+        freqs_all.astype(np.int64),
+    )
+    return (cs - base[ent_of]).astype(np.int32)
+
+
 def write_segment(directory, seg: SegmentData) -> List[str]:
     """Serialize a segment into ``<name>.bnd`` (+ ``<name>.liv`` if it has
     deletes). Returns the file names written."""
     meta = {
-        "format": 1,
+        "format": 2,
         "codec": "DiagonTPU1",
         "name": seg.name,
         "num_docs": seg.num_docs,
@@ -177,36 +270,63 @@ def write_segment(directory, seg: SegmentData) -> List[str]:
             "doc_count_with_field": pp.doc_count_with_field,
             "max_window_words": pp.max_window_words,
         }
-        terms = _pack_strings([t.encode() for t in pp.terms])
-        w.add(p + "term_bytes", terms["bytes"])
-        w.add(p + "term_offsets", terms["offsets"])
+        terms = _front_code([t.encode() for t in pp.terms])
+        w.add(p + "term_suffix_bytes", terms["suffix_bytes"])
+        w.add(p + "term_prefix_lens", terms["prefix_lens"])
+        w.add(p + "term_suffix_lens", terms["suffix_lens"])
         w.add(p + "block_start", pp.block_start)
-        w.add(p + "doc_freq", pp.doc_freq)
-        w.add(p + "total_tf", pp.total_tf)
-        w.add(p + "block_term", pp.block_term)
+        # doc_freq / block_term / block_word_off / block_entry_start are
+        # all derivable from block_start + block_count (+ bit widths) and
+        # are reconstructed at read time (format 2): the reference pays
+        # .skp bytes for skip data, we derive it.
+        w.add(p + "total_tf", _narrow(pp.total_tf))
         w.add(p + "block_base", pp.block_base)
-        w.add(p + "block_count", pp.block_count)
-        w.add(p + "block_doc_bits", pp.block_doc_bits)
-        w.add(p + "block_freq_bits", pp.block_freq_bits)
-        w.add(p + "block_word_off", pp.block_word_off)
-        w.add(p + "block_max_freq", pp.block_max_freq)
-        w.add(p + "block_max_norm", pp.block_max_norm)
-        w.add(p + "block_entry_start", pp.block_entry_start)
+        w.add(
+            p + "block_count", (pp.block_count - 1).astype(np.uint8)
+        )  # count in [1, 128] stored as count-1
+        w.add(p + "block_doc_bits", pp.block_doc_bits.astype(np.uint8))
+        w.add(p + "block_freq_bits", pp.block_freq_bits.astype(np.uint8))
+        w.add(p + "block_max_freq", _narrow(pp.block_max_freq))
+        w.add(p + "block_max_norm", pp.block_max_norm.astype(np.uint8))
         w.add(p + "packed", pp.packed)
         w.add(p + "norms", fd.norms)
         if pp.pos_start is not None:
-            # Disk form is compact: positions bit-packed at the field's max
-            # width; pos_start is NOT stored — it is exactly
-            # cumsum(freqs) (one position per occurrence), reconstructed at
-            # read time from the postings (reference stores explicit .pos
-            # skip structures; deriving beats storing).
-            from diagon_tpu.codecs.bitpack import bits_needed, pack_u32
+            # Disk form: per-entry position DELTAS (first of an entry
+            # absolute) as u16, zlib-compressed. pos_start is NOT stored —
+            # it is exactly cumsum(freqs), reconstructed at read time.
+            pos = pp.positions.astype(np.int64)
+            if len(pos):
+                deltas = np.diff(pos, prepend=np.int64(0))
+                starts = pp.pos_start[:-1]
+                first = np.zeros(len(pos), dtype=bool)
+                first[starts[starts < len(pos)]] = True
+                deltas[first] = pos[first]
+            else:
+                deltas = pos
+            if len(deltas) == 0 or deltas.max() < 65536:
+                # byte-plane split before zlib: the high plane is almost
+                # all zeros (deltas are small), so it compresses away
+                planes = deltas.astype(np.uint16).view(np.uint8)
+                lo, hi = planes[0::2], planes[1::2]
+                meta["fields"][fname]["pos_enc"] = "zd16p"
+                meta["fields"][fname]["pos_count"] = int(len(pos))
+                w.add(
+                    p + "positions_z",
+                    np.frombuffer(
+                        zlib.compress(
+                            lo.tobytes() + hi.tobytes(), 6
+                        ),
+                        np.uint8,
+                    ),
+                )
+            else:  # pathological positions (> 64k in one doc): raw packing
+                from diagon_tpu.codecs.bitpack import bits_needed, pack_u32
 
-            pos = pp.positions
-            pos_bits = bits_needed(int(pos.max()) if len(pos) else 0)
-            meta["fields"][fname]["pos_bits"] = pos_bits
-            meta["fields"][fname]["pos_count"] = int(len(pos))
-            w.add(p + "positions_packed", pack_u32(pos, pos_bits))
+                pos32 = pp.positions
+                pos_bits = bits_needed(int(pos32.max()) if len(pos32) else 0)
+                meta["fields"][fname]["pos_bits"] = pos_bits
+                meta["fields"][fname]["pos_count"] = int(len(pos32))
+                w.add(p + "positions_packed", pack_u32(pos32, pos_bits))
 
     for fname, dv in seg.doc_values.items():
         p = f"dv.{fname}."
@@ -236,7 +356,7 @@ def write_segment(directory, seg: SegmentData) -> List[str]:
             "stored.zbytes",
             np.frombuffer(zlib.compress(s["bytes"].tobytes(), 6), np.uint8),
         )
-        w.add("stored.offsets", s["offsets"])
+        w.add("stored.offsets", _narrow(s["offsets"]))
 
     files = []
     bnd = f"{seg.name}.bnd"
@@ -261,36 +381,134 @@ def read_segment(directory, name: str, verify_checksums: bool = False) -> Segmen
 
         return for_name(codec).read_segment(directory, name, verify_checksums)
     seg = SegmentData(name=meta["name"], num_docs=meta["num_docs"])
+    fmt = int(meta.get("format", 1))
 
     for fname, fmeta in meta["fields"].items():
         p = f"f.{fname}."
-        terms = [
-            b.decode()
-            for b in _unpack_strings(
-                r.array(p + "term_bytes"), r.array(p + "term_offsets")
+        if r.has(p + "term_suffix_bytes"):
+            terms = [
+                b.decode()
+                for b in _front_decode(
+                    r.array(p + "term_suffix_bytes"),
+                    r.array(p + "term_prefix_lens"),
+                    r.array(p + "term_suffix_lens"),
+                )
+            ]
+        else:  # format 1
+            terms = [
+                b.decode()
+                for b in _unpack_strings(
+                    r.array(p + "term_bytes"),
+                    r.array(p + "term_offsets").astype(np.int64),
+                )
+            ]
+        block_start = r.array(p + "block_start")
+        if fmt >= 2:
+            # derive doc_freq / block_term / block_word_off /
+            # block_entry_start from the stored minimum
+            count = r.array(p + "block_count").astype(np.int32) + 1
+            dbits = r.array(p + "block_doc_bits").astype(np.int32)
+            fbits = r.array(p + "block_freq_bits").astype(np.int32)
+            nb = len(count)
+            c64 = count.astype(np.int64)
+            entry_start = np.zeros(nb + 1, dtype=np.int64)
+            np.cumsum(c64, out=entry_start[1:])
+            words = ((c64 * dbits + 31) >> 5) + ((c64 * fbits + 31) >> 5)
+            word_off = np.zeros(nb, dtype=np.int64)
+            np.cumsum(words[:-1], out=word_off[1:])
+            block_term = np.repeat(
+                np.arange(len(terms), dtype=np.int32),
+                np.diff(block_start).astype(np.int64),
             )
-        ]
-        pp = PackedPostings(
-            terms=terms,
-            block_start=r.array(p + "block_start"),
-            doc_freq=r.array(p + "doc_freq"),
-            total_tf=r.array(p + "total_tf"),
-            block_term=r.array(p + "block_term"),
-            block_base=r.array(p + "block_base"),
-            block_count=r.array(p + "block_count"),
-            block_doc_bits=r.array(p + "block_doc_bits"),
-            block_freq_bits=r.array(p + "block_freq_bits"),
-            block_word_off=r.array(p + "block_word_off"),
-            block_max_freq=r.array(p + "block_max_freq"),
-            block_max_norm=r.array(p + "block_max_norm"),
-            block_entry_start=r.array(p + "block_entry_start"),
-            packed=r.array(p + "packed"),
-            sum_total_tf=fmeta["sum_total_tf"],
-            sum_doc_freq=fmeta["sum_doc_freq"],
-            doc_count_with_field=fmeta["doc_count_with_field"],
-            max_window_words=fmeta["max_window_words"],
-        )
-        if "pos_bits" in fmeta:
+            doc_freq = (
+                entry_start[block_start[1:]] - entry_start[block_start[:-1]]
+            ).astype(np.int32)
+            pp = PackedPostings(
+                terms=terms,
+                block_start=block_start,
+                doc_freq=doc_freq,
+                total_tf=r.array(p + "total_tf").astype(np.int64),
+                block_term=block_term,
+                block_base=r.array(p + "block_base"),
+                block_count=count,
+                block_doc_bits=dbits,
+                block_freq_bits=fbits,
+                block_word_off=word_off.astype(np.int32),
+                block_max_freq=r.array(p + "block_max_freq").astype(
+                    np.int32
+                ),
+                block_max_norm=r.array(p + "block_max_norm").astype(
+                    np.int32
+                ),
+                block_entry_start=entry_start,
+                packed=r.array(p + "packed"),
+                sum_total_tf=fmeta["sum_total_tf"],
+                sum_doc_freq=fmeta["sum_doc_freq"],
+                doc_count_with_field=fmeta["doc_count_with_field"],
+                max_window_words=fmeta["max_window_words"],
+            )
+        else:
+            pp = PackedPostings(
+                terms=terms,
+                block_start=block_start,
+                doc_freq=r.array(p + "doc_freq"),
+                total_tf=r.array(p + "total_tf"),
+                block_term=r.array(p + "block_term"),
+                block_base=r.array(p + "block_base"),
+                block_count=r.array(p + "block_count"),
+                block_doc_bits=r.array(p + "block_doc_bits"),
+                block_freq_bits=r.array(p + "block_freq_bits"),
+                block_word_off=r.array(p + "block_word_off"),
+                block_max_freq=r.array(p + "block_max_freq"),
+                block_max_norm=r.array(p + "block_max_norm"),
+                block_entry_start=r.array(p + "block_entry_start"),
+                packed=r.array(p + "packed"),
+                sum_total_tf=fmeta["sum_total_tf"],
+                sum_doc_freq=fmeta["sum_doc_freq"],
+                doc_count_with_field=fmeta["doc_count_with_field"],
+                max_window_words=fmeta["max_window_words"],
+            )
+        if fmeta.get("pos_enc") in ("zd16", "zd16p"):
+            npos = fmeta["pos_count"]
+            raw = zlib.decompress(r.array(p + "positions_z").tobytes())
+            freqs_all = _decode_freqs_all(pp)
+            pos_start = np.zeros(len(freqs_all) + 1, dtype=np.int64)
+            np.cumsum(freqs_all, out=pos_start[1:])
+            pp.pos_start = pos_start
+            if npos == 0:
+                pp.positions = np.zeros(0, dtype=np.int32)
+            elif fmeta["pos_enc"] == "zd16p":
+                half = len(raw) // 2
+                try:
+                    from diagon_tpu.native import _native as _nat
+                except Exception:  # pragma: no cover
+                    _nat = None
+                if _nat is not None and hasattr(
+                    _nat, "positions_from_deltas"
+                ):
+                    pp.positions = np.frombuffer(
+                        _nat.positions_from_deltas(
+                            raw[:half],
+                            raw[half:],
+                            np.ascontiguousarray(
+                                freqs_all, np.int32
+                            ).tobytes(),
+                        ),
+                        np.int32,
+                    )
+                else:
+                    lo = np.frombuffer(raw[:half], np.uint8).astype(np.int64)
+                    hi = np.frombuffer(raw[half:], np.uint8).astype(np.int64)
+                    deltas = lo | (hi << 8)
+                    pp.positions = _positions_from_deltas_numpy(
+                        deltas, freqs_all, pos_start
+                    )
+            else:
+                deltas = np.frombuffer(raw, np.uint16).astype(np.int64)
+                pp.positions = _positions_from_deltas_numpy(
+                    deltas, freqs_all, pos_start
+                )
+        elif "pos_bits" in fmeta:
             from diagon_tpu.codecs.bitpack import unpack_u32_numpy
             from diagon_tpu.codecs.postings import decode_all_numpy
 

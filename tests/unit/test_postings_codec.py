@@ -50,7 +50,8 @@ def test_block_structure():
     np.testing.assert_array_equal(pp.block_base, [0, 128, 256])
     # delta=1 everywhere -> 1-bit packing
     np.testing.assert_array_equal(pp.block_doc_bits, [1, 1, 1])
-    np.testing.assert_array_equal(pp.block_freq_bits, [1, 1, 1])
+    # all-freq-1 blocks omit the freq section entirely (fbits == 0)
+    np.testing.assert_array_equal(pp.block_freq_bits, [0, 0, 0])
     assert pp.block_max_freq.max() == 1
 
 
