@@ -39,7 +39,8 @@ class TermQuery(Query):
         self.boost = boost
 
     def __repr__(self):
-        return f"TermQuery({self.term.field}:{self.term.text})"
+        b = f"^{self.boost}" if self.boost != 1.0 else ""
+        return f"TermQuery({self.term.field}:{self.term.text}{b})"
 
 
 @dataclass
@@ -89,7 +90,12 @@ class BooleanQuery(Query):
         return must, should, filt, must_not
 
     def __repr__(self):
-        return f"BooleanQuery({self.clauses})"
+        ms = (
+            f", min_should={self.minimum_number_should_match}"
+            if self.minimum_number_should_match
+            else ""
+        )
+        return f"BooleanQuery({self.clauses}{ms})"
 
 
 class PhraseQuery(Query):
@@ -113,7 +119,8 @@ class PhraseQuery(Query):
             return PhraseQuery(self.field, self._terms)
 
     def __repr__(self):
-        return f"PhraseQuery({self.field}:{' '.join(self.terms)})"
+        b = f"^{self.boost}" if self.boost != 1.0 else ""
+        return f"PhraseQuery({self.field}:{' '.join(self.terms)}{b})"
 
 
 class MatchAllDocsQuery(Query):

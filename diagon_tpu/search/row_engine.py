@@ -913,14 +913,16 @@ class RowExecutor:
             if light_rows
             else np.zeros((0, idx.num_docs_pad), np.float32)
         )
+        # Pure-OR fast path requires every clause's row to satisfy
+        # "row > 0 iff clause matches AND contributes score" — nested
+        # subquery A/B pairs (score-only + presence-only rows) break that,
+        # so ALL plans must be scoring SHOULD clauses.
         pure_or = (
             num_required == 0
             and min_should <= 1
             and not any(tp.negated for tp in term_plans)
             and all(
-                tp.should and tp.weight != 0.0
-                for tp in term_plans
-                if tp.term_id >= 0
+                tp.should and tp.weight != 0.0 for tp in term_plans
             )
         )
         return RowPlan(

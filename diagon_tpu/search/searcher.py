@@ -124,6 +124,7 @@ class IndexSearcher:
         # caches are valid for the searcher's lifetime.
         self._idf_cache: Dict[Tuple[str, str, float], np.float32] = {}
         self._plan_cache: Dict[tuple, List[Optional[SegmentPlan]]] = {}
+        self._oracle = None  # lazy: compiles nested subtrees to rows
         # identity-keyed first-level caches (repeated Query objects skip
         # clause parsing and structural key construction entirely)
         self._query_cache: Dict[int, tuple] = {}
@@ -167,29 +168,60 @@ class IndexSearcher:
             q, (NumericRangeQuery, PointRangeQuery, MatchAllDocsQuery)
         )
 
+    def _any_field(self) -> Optional[str]:
+        for ds in self.device_segments:
+            for name in ds.fields:
+                return name
+        return None
+
     def _term_clauses(
         self, query: Query
     ) -> Optional[Tuple[str, List[Tuple[Query, Occur]], int]]:
-        """Flatten into (field, [(clause, occur)], min_should) if the query
-        is a term/boolean query on a single text field (range / match-all
-        clauses allowed — they become host indicator rows)."""
+        """Flatten into (ctx_field, [(clause, occur)], min_should).
+
+        Every clause type executes on device: same-field terms as bank
+        rows; ranges/match-all as host indicator rows; nested boolean
+        trees, phrase clauses and foreign-field terms as host-computed
+        (score row, match row) pairs (the reference composes nested
+        Weights/Scorers, BooleanQuery.cpp:417-481 — here a subtree
+        compiles to dense rows the flat kernel consumes). Standalone
+        range/match-all queries arrive wrapped as single-SHOULD booleans.
+        Returns None only when nothing is indexed or nothing can match
+        (pure MUST_NOT)."""
         if isinstance(query, TermQuery):
             return query.term.field, [(query, Occur.SHOULD)], 1
+        if isinstance(
+            query, (NumericRangeQuery, PointRangeQuery, MatchAllDocsQuery)
+        ):
+            field = self._any_field()
+            if field is None:
+                return None
+            return field, [(query, Occur.SHOULD)], 1
         if not isinstance(query, BooleanQuery):
             return None
         clauses: List[Tuple[Query, Occur]] = []
         field = None
         for c in query.clauses:
-            if isinstance(c.query, TermQuery):
-                if field is None:
-                    field = c.query.term.field
-                elif field != c.query.term.field:
-                    return None
-            elif not self._device_rangeable(c.query):
+            q = c.query
+            if not isinstance(
+                q,
+                (
+                    TermQuery,
+                    BooleanQuery,
+                    PhraseQuery,
+                    NumericRangeQuery,
+                    PointRangeQuery,
+                    MatchAllDocsQuery,
+                ),
+            ):
                 return None
-            clauses.append((c.query, c.occur))
+            if field is None and isinstance(q, TermQuery):
+                field = q.term.field
+            clauses.append((q, c.occur))
         if field is None:
-            return None  # pure range/match-all boolean: host path
+            field = self._any_field()
+        if field is None:
+            return None
         min_should = query.minimum_number_should_match
         has_required = any(
             o in (Occur.MUST, Occur.FILTER) for _, o in clauses
@@ -227,6 +259,20 @@ class IndexSearcher:
             )
         raise TypeError(f"no host row for {q!r}")
 
+    def _oracle_rows(self, si: int, q: Query):
+        """(masked score row f32, match row f32) for one clause of one
+        segment, with the oracle's exact global-stats arithmetic — the
+        compile target for nested boolean trees, phrase clauses and
+        foreign-field terms inside a device boolean plan."""
+        if self._oracle is None:
+            from diagon_tpu.search.oracle import OracleSearcher
+
+            self._oracle = OracleSearcher(self._host_segments())
+        scores, mask = self._oracle._score_dense(
+            self._oracle.segments[si], q
+        )
+        return scores, mask.astype(np.float32)
+
     def _clause_term_plans(
         self, field: str, clauses: List[Tuple[Query, Occur]]
     ) -> List[List[TermPlan]]:
@@ -252,37 +298,58 @@ class IndexSearcher:
         weights = {
             id(q): (
                 float(self._idf(field, q.term.text, q.boost))
-                if isinstance(q, TermQuery)
+                if isinstance(q, TermQuery) and q.term.field == field
                 else 1.0
             )
             for q, _ in must + should
         }
         out = []
-        for ds in self.device_segments:
+        for si, ds in enumerate(self.device_segments):
             f = ds.fields.get(field)
             if f is None:
                 out.append(None)
                 continue
 
-            def plan(q, weight, **flags) -> TermPlan:
-                if isinstance(q, TermQuery):
-                    return TermPlan(f.term_id(q.term.text), weight, **flags)
-                return TermPlan(
-                    -1,
-                    weight,
-                    host_row=self._clause_host_row(ds.source, q),
-                    **flags,
-                )
+            def plans_for(q, weight, scoring: bool, **flags):
+                """1-2 TermPlans for one clause (A/B split when the match
+                set can include zero-score docs, i.e. nested booleans)."""
+                if isinstance(q, TermQuery) and q.term.field == field:
+                    return [TermPlan(f.term_id(q.term.text), weight, **flags)]
+                if self._device_rangeable(q):
+                    return [
+                        TermPlan(
+                            -1,
+                            weight,
+                            host_row=self._clause_host_row(ds.source, q),
+                            **flags,
+                        )
+                    ]
+                scores, match = self._oracle_rows(si, q)
+                if isinstance(q, BooleanQuery):
+                    # A: score contribution at this clause's position;
+                    # B: presence (a nested match may carry score 0).
+                    plans = []
+                    if scoring:
+                        plans.append(TermPlan(-1, 1.0, host_row=scores))
+                    plans.append(TermPlan(-1, 0.0, host_row=match, **flags))
+                    return plans
+                # phrase / foreign-field term: score > 0 iff matched, so
+                # one row serves both roles
+                row = scores if scoring else match
+                return [TermPlan(-1, 1.0 if scoring else 0.0,
+                                 host_row=row, **flags)]
 
             tps: List[TermPlan] = []
             for q, _ in must:
-                tps.append(plan(q, weights[id(q)], required=True))
+                tps.extend(
+                    plans_for(q, weights[id(q)], True, required=True)
+                )
             for q, _ in filt:
-                tps.append(plan(q, 0.0, required=True))
+                tps.extend(plans_for(q, 0.0, False, required=True))
             for q, _ in should:
-                tps.append(plan(q, weights[id(q)], should=True))
+                tps.extend(plans_for(q, weights[id(q)], True, should=True))
             for q, _ in must_not:
-                tps.append(plan(q, 0.0, negated=True))
+                tps.extend(plans_for(q, 0.0, False, negated=True))
             out.append(tps)
         return out
 
