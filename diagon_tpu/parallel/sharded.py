@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from diagon_tpu.index.segment import SegmentData
 from diagon_tpu.search.bm25 import BM25Similarity
 from diagon_tpu.search.engine import make_tf_table
-from diagon_tpu.search.query import Occur, Query, TermQuery
+from diagon_tpu.search.query import BooleanQuery, Occur, Query, TermQuery
 from diagon_tpu.search.row_engine import RowFieldIndex, _bucket_tq
 from diagon_tpu.search.topdocs import ScoreDoc, TopDocs
 
@@ -158,12 +158,26 @@ class ShardedSearcher:
             )
             self.row_indexes.append(ridx)
 
-        # heavy banks with the GLOBAL (collection) idf, host-built, then
-        # stacked + sharded over the mesh
+        # GLOBALLY-ALIGNED heavy banks: the heavy set is chosen by
+        # collection df and every shard's bank row j holds the SAME term
+        # (zeros where the shard lacks it) — skewed per-shard heavy sets
+        # no longer pad each other's banks (round-1 weak point).
+        from diagon_tpu.search.row_engine import HEAVY_FRACTION, HEAVY_MIN_DF
+
+        global_df: Dict[str, int] = {}
+        for pp in pps:
+            for tid, t in enumerate(pp.terms):
+                global_df[t] = global_df.get(t, 0) + int(pp.doc_freq[tid])
+        threshold = max(HEAVY_MIN_DF, self.max_doc // HEAVY_FRACTION)
+        self.heavy_terms = sorted(
+            t for t, df_ in global_df.items() if df_ >= threshold
+        )
         for si, ridx in enumerate(self.row_indexes):
             pp = pps[si]
+            heavy_tids = [pp.term_id(t) for t in self.heavy_terms]
             ridx.build_heavy_bank(
-                lambda tid, _pp=pp: self._idf(_pp.terms[tid])
+                lambda tid, _pp=pp: self._idf(_pp.terms[tid]),
+                heavy_tids=heavy_tids,
             )
         h_pad = max(
             1, max(int(r.heavy_bank.shape[0]) for r in self.row_indexes)
@@ -204,38 +218,178 @@ class ShardedSearcher:
             self._idf_cache[key] = v
         return v
 
-    def _clauses(self, q: Query) -> Tuple[list, int]:
+    _GENERAL = (
+        "BooleanQuery", "PhraseQuery", "NumericRangeQuery",
+        "PointRangeQuery", "MatchAllDocsQuery",
+    )
+
+    def _clauses(self, q: Query) -> Optional[Tuple[list, int]]:
+        """Flatten like IndexSearcher._term_clauses: any clause kind is
+        accepted (same-field terms as bank rows; everything else compiles
+        to host rows via the oracle, see _flat_specs)."""
         if isinstance(q, TermQuery):
+            return [(q, Occur.SHOULD)], 1
+        if type(q).__name__ in self._GENERAL and not isinstance(
+            q, BooleanQuery
+        ):
             return [(q, Occur.SHOULD)], 1
         clauses = [(c.query, c.occur) for c in q.clauses]
         min_should = q.minimum_number_should_match
-        if not any(o in (Occur.MUST, Occur.FILTER) for _, o in clauses):
+        has_required = any(
+            o in (Occur.MUST, Occur.FILTER) for _, o in clauses
+        )
+        if not has_required:
             min_should = max(min_should, 1)
+        has_should = any(o == Occur.SHOULD for _, o in clauses)
+        if not has_should and not has_required:
+            return None
         return clauses, min_should
+
+    def _oracle_rows(self, si: int, q: Query):
+        if getattr(self, "_oracle", None) is None:
+            from diagon_tpu.search.oracle import OracleSearcher
+
+            self._oracle = OracleSearcher(self.shards)
+        scores, mask = self._oracle._score_dense(self.shards[si], q)
+        return scores, mask.astype(np.float32)
+
+    def _flat_specs(self, si: int, clauses, min_should):
+        """One shard's flat clause specs in oracle order:
+        (hterm_row, host_row, weight, scoring, is_req, is_sho, is_neg)."""
+        from diagon_tpu.search.oracle import (
+            numeric_range_mask,
+            point_range_mask,
+        )
+        from diagon_tpu.search.query import (
+            MatchAllDocsQuery,
+            NumericRangeQuery,
+            PointRangeQuery,
+        )
+
+        pp = self._pps[si]
+        ridx = self.row_indexes[si]
+        seg = self.shards[si]
+
+        def _key(item):
+            q = item[0]
+            return (
+                (q.term.field, q.term.text)
+                if isinstance(q, TermQuery)
+                else ("", "")
+            )
+
+        groups = [
+            (sorted([c for c in clauses if c[1] == o], key=_key), o)
+            for o in (Occur.MUST, Occur.FILTER, Occur.SHOULD, Occur.MUST_NOT)
+        ]
+        num_required = sum(
+            len(g) for g, o in groups if o in (Occur.MUST, Occur.FILTER)
+        )
+        specs = []  # (hrow, host_row, weight, scoring, req, sho, neg)
+        for group, occ in groups:
+            is_req = occ in (Occur.MUST, Occur.FILTER)
+            is_sho = occ == Occur.SHOULD
+            is_neg = occ == Occur.MUST_NOT
+            scoring = occ in (Occur.MUST, Occur.SHOULD)
+            for q, _ in group:
+                if isinstance(q, TermQuery) and q.term.field == self.field:
+                    tid = pp.term_id(q.term.text)
+                    if tid < 0:
+                        specs.append(
+                            (-1, None, 0.0, False, is_req, is_sho, is_neg)
+                        )
+                        continue
+                    w = self._idf(q.term.text, q.boost)
+                    hrow = (
+                        int(ridx.heavy_row_of_term[tid])
+                        if ridx.heavy_row_of_term is not None
+                        else -1
+                    )
+                    if hrow >= 0 and (
+                        not scoring
+                        or np.float32(w) == self._idf(q.term.text)
+                    ):
+                        specs.append(
+                            (hrow, None, float(w), scoring,
+                             is_req, is_sho, is_neg)
+                        )
+                    else:
+                        ww = np.float32(w) if scoring else np.float32(1.0)
+                        specs.append(
+                            (-1, ridx.host_row(tid, ww), float(ww),
+                             scoring, is_req, is_sho, is_neg)
+                        )
+                    continue
+                if isinstance(
+                    q, (NumericRangeQuery, PointRangeQuery,
+                        MatchAllDocsQuery)
+                ):
+                    if isinstance(q, MatchAllDocsQuery):
+                        row = np.ones(seg.num_docs, np.float32)
+                    elif isinstance(q, NumericRangeQuery):
+                        row = numeric_range_mask(
+                            seg, q.field, q.lower, q.upper
+                        ).astype(np.float32)
+                    else:
+                        row = point_range_mask(
+                            seg, q.field, q.lower, q.upper
+                        ).astype(np.float32)
+                    specs.append(
+                        (-1, row, 1.0 if scoring else 0.0, scoring,
+                         is_req, is_sho, is_neg)
+                    )
+                    continue
+                scores, match = self._oracle_rows(si, q)
+                if isinstance(q, BooleanQuery):
+                    if scoring:
+                        specs.append(
+                            (-1, scores, 1.0, True, False, False, False)
+                        )
+                    specs.append(
+                        (-1, match, 0.0, False, is_req, is_sho, is_neg)
+                    )
+                else:  # phrase / foreign-field term: score>0 iff matched
+                    row = scores if scoring else match
+                    specs.append(
+                        (-1, row, 1.0 if scoring else 0.0, scoring,
+                         is_req, is_sho, is_neg)
+                    )
+        return specs, num_required
 
     def _plans(self, queries: Sequence[Query]):
         """Stacked per-shard plan arrays, sharded over the mesh."""
-        key = tuple(
-            (
-                tuple(
-                    sorted(
-                        (c.occur.value, c.query.term.text, c.query.boost)
-                        for c in q.clauses
-                    ),
-                )
-                if not isinstance(q, TermQuery)
-                else ("T", q.term.text, q.boost),
-            )
-            for q in queries
-        )
+        key = tuple(repr(q) for q in queries)
         cached = self._plan_cache.get(key)
         if cached is not None:
             return cached
 
         S = len(self.shards)
         Q = len(queries)
-        per_query = [self._clauses(q) for q in queries]
-        tq = _bucket_tq(max(len(c) for c, _ in per_query))
+        per_query = []
+        for q in queries:
+            c = self._clauses(q)
+            if c is None:
+                raise ValueError(
+                    f"ShardedSearcher: query matches nothing ({q!r})"
+                )
+            per_query.append(c)
+
+        # compile every (query, shard) spec list first: A/B splits make
+        # the clause count query-dependent
+        all_specs = [
+            [
+                self._flat_specs(si, clauses, min_should)
+                for si in range(S)
+            ]
+            for clauses, min_should in per_query
+        ]
+        tq = _bucket_tq(
+            max(
+                len(specs)
+                for per_shard in all_specs
+                for specs, _ in per_shard
+            )
+        )
 
         hidx = np.full((S, Q, tq), -1, dtype=np.int32)
         lidx = np.zeros((S, Q, tq), dtype=np.int32)
@@ -246,51 +400,26 @@ class ShardedSearcher:
         bool_params = np.zeros((S, Q, 2), dtype=np.float32)
         light_rows: List[List[np.ndarray]] = [[] for _ in range(S)]
 
-        def _key(item):
-            return item[0].term.text
-
-        for qi, (clauses, min_should) in enumerate(per_query):
-            must = sorted([c for c in clauses if c[1] == Occur.MUST], key=_key)
-            filt = sorted([c for c in clauses if c[1] == Occur.FILTER], key=_key)
-            should = sorted(
-                [c for c in clauses if c[1] == Occur.SHOULD], key=_key
-            )
-            must_not = sorted(
-                [c for c in clauses if c[1] == Occur.MUST_NOT], key=_key
-            )
-            ordered = (
-                [(q, True, False, False) for q, _ in must]
-                + [(q, True, False, True) for q, _ in filt]
-                + [(q, False, False, False) for q, _ in should]
-                + [(q, False, True, True) for q, _ in must_not]
-            )
-            num_required = len(must) + len(filt)
+        for qi, (clauses_ms, per_shard) in enumerate(
+            zip(per_query, all_specs)
+        ):
+            _, min_should = clauses_ms
             for si in range(S):
-                pp = self._pps[si]
-                ridx = self.row_indexes[si]
-                for i, (q, is_req, is_neg, zero_weight) in enumerate(ordered):
-                    tid = pp.term_id(q.term.text)
-                    present = tid >= 0
-                    is_should = not is_req and not is_neg
-                    scoring[si, qi, i] = (not is_neg) and (not zero_weight)
+                specs, num_required = per_shard[si]
+                for i, (
+                    hrow, host_row, w, sc, is_req, is_sho, is_neg
+                ) in enumerate(specs):
+                    present = hrow >= 0 or host_row is not None
+                    scoring[si, qi, i] = sc and w != 0.0
                     req[si, qi, i] = 1.0 if (is_req and present) else 0.0
-                    sho[si, qi, i] = 1.0 if (is_should and present) else 0.0
+                    sho[si, qi, i] = 1.0 if (is_sho and present) else 0.0
                     neg[si, qi, i] = 1.0 if (is_neg and present) else 0.0
-                    if not present:
-                        continue
-                    w = self._idf(q.term.text, q.boost)
-                    hrow = (
-                        ridx.heavy_row_of_term[tid]
-                        if ridx.heavy_row_of_term is not None
-                        else -1
-                    )
-                    if hrow >= 0 and (
-                        zero_weight or np.float32(w) == self._idf(q.term.text)
-                    ):
+                    if hrow >= 0:
                         hidx[si, qi, i] = hrow
-                    else:
-                        ww = np.float32(w) if scoring[si, qi, i] else np.float32(1.0)
-                        light_rows[si].append(ridx.host_row(tid, ww))
+                    elif host_row is not None:
+                        padded = np.zeros(self.num_docs_pad, np.float32)
+                        padded[: len(host_row)] = host_row
+                        light_rows[si].append(padded)
                         lidx[si, qi, i] = len(light_rows[si])
                 bool_params[si, qi] = (num_required, min_should)
 

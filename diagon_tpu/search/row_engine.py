@@ -672,38 +672,52 @@ class RowFieldIndex:
             ]
         return row
 
-    def build_heavy_bank(self, idf_of_tid) -> None:
+    def build_heavy_bank(self, idf_of_tid, heavy_tids=None) -> None:
         """Materialize device rows for frequent terms (decode + scatter run
         on device, _build_bank_device).
 
         idf_of_tid: callable tid -> np.float32 collection-level idf.
+        heavy_tids: optional explicit term-id list (sharded searchers pass
+        a globally-aligned heavy set so bank rows line up across shards).
         """
         pp = self.pp
         T = pp.num_terms
         df = pp.doc_freq
-        threshold = max(HEAVY_MIN_DF, self.num_docs_pad // HEAVY_FRACTION)
-        heavy = np.nonzero(df >= threshold)[0]
+        if heavy_tids is not None:
+            heavy = np.asarray(heavy_tids, dtype=np.int64)
+        else:
+            threshold = max(
+                HEAVY_MIN_DF, self.num_docs_pad // HEAVY_FRACTION
+            )
+            heavy = np.nonzero(df >= threshold)[0]
         self.heavy_row_of_term = np.full(T, -1, dtype=np.int32)
-        if len(heavy) == 0:
+        present = heavy >= 0  # -1 = globally-heavy term absent here
+        if len(heavy) == 0 or not present.any():
             self.heavy_bank = jax.device_put(
-                jnp.zeros((1, self.num_docs_pad), jnp.float32), self.device
+                jnp.zeros((max(1, len(heavy)), self.num_docs_pad),
+                          jnp.float32),
+                self.device,
             )
         else:
-            self.heavy_row_of_term[heavy] = np.arange(
-                len(heavy), dtype=np.int32
-            )
+            self.heavy_row_of_term[heavy[present]] = np.nonzero(present)[
+                0
+            ].astype(np.int32)
             # per-block metadata for every heavy term's blocks
             bsel = np.concatenate(
                 [
                     np.arange(
                         int(pp.block_start[t]), int(pp.block_start[t + 1])
                     )
-                    for t in heavy
+                    for t in heavy[present]
                 ]
             )
             rowid = self.heavy_row_of_term[pp.block_term[bsel]]
             idf = np.asarray(
-                [idf_of_tid(int(t)) for t in heavy], dtype=np.float32
+                [
+                    idf_of_tid(int(t)) if t >= 0 else 0.0
+                    for t in heavy
+                ],
+                dtype=np.float32,
             )[rowid]
             dev = lambda x: jax.device_put(jnp.asarray(x), self.device)
             norms32 = np.zeros(self.num_docs_pad, dtype=np.int32)

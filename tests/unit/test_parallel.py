@@ -125,3 +125,82 @@ def test_sharded_min_should_match(sharded):
     assert got.doc_ids() == want.doc_ids()
     for a, c in zip(want.score_docs, got.score_docs):
         assert a.score == c.score
+
+
+def _build_rich_shards(rng, sizes):
+    """Shards with positions-bearing phrases, doc values and points."""
+    from diagon_tpu.document import LongPointField, NumericDocValuesField
+
+    shards = []
+    gid = 0
+    for i, n in enumerate(sizes):
+        mem = MemoryIndex()
+        for t in _texts(rng, n, VOCAB):
+            toks = t.split()
+            if gid % 9 == 0 and len(toks) > 3:
+                toks[1:3] = ["oil", "price"]
+            doc = Document().add(TextField("body", " ".join(toks)))
+            doc.add(TextField("title", " ".join(toks[:4])))
+            doc.add(NumericDocValuesField("year", 1980 + gid % 25))
+            doc.add(LongPointField("size", gid * 7 % 3000))
+            mem.add_document(doc)
+            gid += 1
+        shards.append(flush_memory_index(mem, f"_r{i}"))
+    return shards
+
+
+@pytest.fixture(scope="module")
+def sharded_rich():
+    import jax
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    n_dev = len(jax.devices())
+    sizes = [90 + 25 * i for i in range(n_dev)]
+    shards = _build_rich_shards(rng, sizes)
+    return shards, ShardedSearcher(shards, "body"), OracleSearcher(shards)
+
+
+def test_sharded_phrase_range_nested(sharded_rich):
+    """Round-1 gap: phrase / ranges / nested trees / multi-field through
+    the sharded path, bit-exact vs the oracle."""
+    from diagon_tpu.search.query import (
+        MatchAllDocsQuery,
+        NumericRangeQuery,
+        PhraseQuery,
+        PointRangeQuery,
+    )
+
+    _, ss, oracle = sharded_rich
+
+    def B(*cl, ms=0):
+        b = BooleanQuery.Builder()
+        for q, o in cl:
+            b.add(q, o)
+        b.set_minimum_number_should_match(ms)
+        return b.build()
+
+    sub = B((TermQuery("body", "oil"), Occur.SHOULD),
+            (TermQuery("body", "price"), Occur.SHOULD))
+    queries = [
+        PhraseQuery("body", ["oil", "price"]),
+        NumericRangeQuery("year", 1985, 1995),
+        PointRangeQuery("size", 100, 1500),
+        MatchAllDocsQuery(),
+        B((PhraseQuery("body", ["oil", "price"]), Occur.MUST),
+          (TermQuery("body", "trade"), Occur.SHOULD)),
+        B((NumericRangeQuery("year", 1983, 1999), Occur.FILTER),
+          (TermQuery("body", "oil"), Occur.SHOULD)),
+        B((sub, Occur.MUST), (TermQuery("body", "w3"), Occur.SHOULD)),
+        B((sub, Occur.SHOULD), (TermQuery("body", "w7"), Occur.SHOULD)),
+        B((TermQuery("body", "oil"), Occur.SHOULD),
+          (TermQuery("title", "w2"), Occur.SHOULD)),
+        B((TermQuery("body", "trade"), Occur.SHOULD),
+          (sub, Occur.MUST_NOT)),
+    ]
+    results = ss.search_batch(queries, 10)
+    for q, got in zip(queries, results):
+        want = oracle.search(q, 10)
+        assert got.total_hits == want.total_hits, q
+        assert got.doc_ids() == want.doc_ids(), q
+        for o, d in zip(want.score_docs, got.score_docs):
+            assert o.score == d.score, q
