@@ -56,48 +56,64 @@ class _FieldContext:
 
     def __init__(self, searcher: "IndexSearcher", field: str):
         self.field = field
-        self.avgdl = collection_stats(
-            searcher.device_segments, field, searcher.max_doc
-        )
+        # Collection stats come from the HOST segments so they are
+        # residency-independent (tier-managed searchers may have segments
+        # demoted off-device at any time).
+        host_segs = searcher._host_segments()
+        stt = 0
         max_freq = 1
-        for ds in searcher.device_segments:
-            f = ds.fields.get(field)
-            if f is not None:
-                max_freq = max(max_freq, f.max_freq)
+        for seg in host_segs:
+            fd = seg.fields.get(field)
+            if fd is not None:
+                if fd.postings.sum_total_tf > 0:
+                    stt += fd.postings.sum_total_tf
+                if fd.postings.num_blocks:
+                    max_freq = max(
+                        max_freq, int(fd.postings.block_max_freq.max())
+                    )
+        if stt <= 0:
+            stt = searcher.max_doc * 10
+        from diagon_tpu.search.bm25 import BM25Similarity
+
+        self.avgdl = BM25Similarity.avg_field_length(stt, searcher.max_doc)
         self.tf_lut_host = make_tf_table(self.avgdl, max_freq)
         self.tf_lut = jnp.asarray(self.tf_lut_host)
-        self.executors = [
-            SegmentExecutor(ds, field, self.tf_lut)
-            if field in ds.fields
-            else None
-            for ds in searcher.device_segments
-        ]
-        # Row-bank executors (the contiguous-DMA fast path); need the host
-        # segment copy to build rows.
+        self.executors = [None] * len(searcher.device_segments)
+        self.row_executors = [None] * len(searcher.device_segments)
+        for si in range(len(searcher.device_segments)):
+            self.rebuild_segment(searcher, si)
+
+    def rebuild_segment(self, searcher: "IndexSearcher", si: int) -> None:
+        """(Re)build this field's executors for one (resident) segment —
+        also the tier-promotion hook."""
+        ds = searcher.device_segments[si]
+        if ds is None or self.field not in ds.fields:
+            self.executors[si] = None
+            self.row_executors[si] = None
+            return
+        self.executors[si] = SegmentExecutor(ds, self.field, self.tf_lut)
         from diagon_tpu.search.row_engine import RowExecutor, RowFieldIndex
 
-        self.row_executors = []
-        for ds in searcher.device_segments:
-            if field in ds.fields and ds.source is not None:
-                fd = ds.source.fields[field]
-                ridx = RowFieldIndex(
-                    fd.postings,
-                    fd.norms,
-                    ds.num_docs_pad,
-                    ds.source.live_docs,
-                    self.tf_lut_host,
-                )
-                pp = fd.postings
+        if ds.source is None:
+            self.row_executors[si] = None
+            return
+        fd = ds.source.fields[self.field]
+        ridx = RowFieldIndex(
+            fd.postings,
+            fd.norms,
+            ds.num_docs_pad,
+            ds.source.live_docs,
+            self.tf_lut_host,
+        )
+        pp = fd.postings
 
-                def idf_of_tid(tid, _pp=pp, _s=searcher, _f=field):
-                    return _s._idf(_f, _pp.terms[tid], 1.0)
+        def idf_of_tid(tid, _pp=pp, _s=searcher, _f=self.field):
+            return _s._idf(_f, _pp.terms[tid], 1.0)
 
-                ridx.build_heavy_bank(idf_of_tid)
-                ex = RowExecutor(ridx)
-                ex.idf_of_tid = idf_of_tid
-                self.row_executors.append(ex)
-            else:
-                self.row_executors.append(None)
+        ridx.build_heavy_bank(idf_of_tid)
+        ex = RowExecutor(ridx)
+        ex.idf_of_tid = idf_of_tid
+        self.row_executors[si] = ex
 
 
 class IndexSearcher:
@@ -105,30 +121,148 @@ class IndexSearcher:
         self,
         segments: Union[Sequence[Union[SegmentData, DeviceSegment]], "object"],
         device=None,
+        hbm_budget_bytes: Optional[int] = None,
     ):
         # Accept a DirectoryReader (duck-typed to avoid an import cycle).
         if hasattr(segments, "segments_data"):
             segments = segments.segments_data()
-        self.device_segments: List[DeviceSegment] = [
-            s if isinstance(s, DeviceSegment) else load_segment(s, device)
-            for s in segments
-        ]
-        self.doc_bases = np.cumsum(
-            [0] + [s.num_docs for s in self.device_segments]
-        ).tolist()
-        self.max_doc = self.doc_bases[-1]
+        segments = list(segments)
+        self._device = device
+        self._tier = None
+        # caches must exist before tier promotion callbacks can fire
         self.sim = BM25Similarity()
         self._field_ctx: Dict[str, _FieldContext] = {}
         self._phrase_execs: Dict[str, list] = {}
-        # Searchers are point-in-time readers (segments immutable), so both
-        # caches are valid for the searcher's lifetime.
         self._idf_cache: Dict[Tuple[str, str, float], np.float32] = {}
         self._plan_cache: Dict[tuple, List[Optional[SegmentPlan]]] = {}
         self._oracle = None  # lazy: compiles nested subtrees to rows
-        # identity-keyed first-level caches (repeated Query objects skip
-        # clause parsing and structural key construction entirely)
         self._query_cache: Dict[int, tuple] = {}
         self._query_cache_refs: List[Query] = []
+        if hbm_budget_bytes is not None:
+            # tier-managed residency: segments load to HBM lazily through
+            # the TierManager (budget + LRU demotion actually move arrays)
+            from diagon_tpu.observability.storage_tiers import (
+                StorageTier,
+                TierManager,
+            )
+
+            self._host_segs: List[SegmentData] = [
+                s.source if isinstance(s, DeviceSegment) else s
+                for s in segments
+            ]
+            if any(s is None for s in self._host_segs):
+                raise ValueError(
+                    "tier-managed searcher needs host segment copies"
+                )
+            self._seg_index = {
+                s.name: i for i, s in enumerate(self._host_segs)
+            }
+            self.device_segments = [None] * len(self._host_segs)
+            self._tier = TierManager(
+                hbm_budget_bytes,
+                promote=self._tier_promote,
+                demote_to_host=self._tier_demote,
+            )
+            for s in self._host_segs:
+                self._tier.register(
+                    s.name,
+                    StorageTier.HOST,
+                    bytes_device=self._estimate_device_bytes(s),
+                )
+            self._ensure_resident()
+        else:
+            self.device_segments: List[DeviceSegment] = [
+                s if isinstance(s, DeviceSegment) else load_segment(s, device)
+                for s in segments
+            ]
+        self.doc_bases = np.cumsum(
+            [0]
+            + [
+                s.num_docs
+                for s in (
+                    self._host_segs
+                    if self._tier is not None
+                    else self.device_segments
+                )
+            ]
+        ).tolist()
+        self.max_doc = self.doc_bases[-1]
+
+    # -- storage tiers -------------------------------------------------------
+    @staticmethod
+    def _estimate_device_bytes(seg: SegmentData) -> int:
+        """Rough HBM footprint of a resident segment (packed arrays +
+        norms + positions + the idf-scaled heavy bank)."""
+        from diagon_tpu.search.row_engine import (
+            HEAVY_FRACTION,
+            HEAVY_MIN_DF,
+        )
+
+        total = 0
+        d_pad = max(1024, -(-seg.num_docs // 1024) * 1024)
+        for fd in seg.fields.values():
+            pp = fd.postings
+            total += pp.packed.nbytes + pp.num_blocks * 40
+            total += d_pad * 4  # norms widened
+            if pp.positions is not None:
+                total += pp.positions.nbytes + pp.block_entry_start.nbytes
+            threshold = max(HEAVY_MIN_DF, d_pad // HEAVY_FRACTION)
+            n_heavy = int((pp.doc_freq >= threshold).sum())
+            total += n_heavy * d_pad * 6  # f32 bank + bf16 copy
+        return total
+
+    def _tier_promote(self, name: str) -> int:
+        si = self._seg_index[name]
+        self.device_segments[si] = load_segment(
+            self._host_segs[si], self._device
+        )
+        # rebuild per-field executors for this segment only
+        for ctx in self._field_ctx.values():
+            ctx.rebuild_segment(self, si)
+        self._phrase_execs.clear()
+        return self._estimate_device_bytes(self._host_segs[si])
+
+    def _tier_demote(self, name: str) -> None:
+        si = self._seg_index[name]
+        self.device_segments[si] = None
+        for ctx in self._field_ctx.values():
+            if si < len(ctx.executors):
+                ctx.executors[si] = None
+                ctx.row_executors[si] = None
+        self._phrase_execs.clear()
+
+    def _ensure_resident(self) -> None:
+        """Promote segments to DEVICE (LRU-evicting within the budget)
+        before executing a query; segments that cannot fit stay HOST and
+        are served by the oracle tier (exact, slower)."""
+        if self._tier is None:
+            return
+        for s in self._host_segs:
+            try:
+                self._tier.ensure_device(s.name)
+            except MemoryError:
+                pass
+
+    def _host_segment_topdocs(self, si: int, query: Query, k: int) -> TopDocs:
+        """Score one HOST-tier segment with the oracle (exact)."""
+        if self._oracle is None:
+            from diagon_tpu.search.oracle import OracleSearcher
+
+            self._oracle = OracleSearcher(self._host_segments())
+        seg = self._host_segments()[si]
+        scores, mask = self._oracle._score_dense(seg, query)
+        if seg.live_docs is not None:
+            mask = mask & seg.live_docs
+        docs = np.nonzero(mask)[0]
+        sds = sorted(
+            (ScoreDoc(int(d) + self.doc_bases[si], float(scores[d]))
+             for d in docs),
+            key=lambda sd: (-sd.score, sd.doc),
+        )[:k]
+        return TopDocs(len(docs), sds)
+
+    def tier_stats(self):
+        return self._tier.stats() if self._tier is not None else {}
 
     # -- stats -------------------------------------------------------------
     def _ctx(self, field: str) -> _FieldContext:
@@ -140,13 +274,13 @@ class IndexSearcher:
 
     def term_doc_freq(self, field: str, text: str) -> int:
         df = 0
-        for ds in self.device_segments:
-            f = ds.fields.get(field)
-            if f is None:
+        for seg in self._host_segments():
+            fd = seg.fields.get(field)
+            if fd is None:
                 continue
-            tid = f.term_id(text)
+            tid = fd.postings.term_id(text)
             if tid >= 0:
-                df += int(f.doc_freq[tid])
+                df += int(fd.postings.doc_freq[tid])
         return df
 
     def _idf(self, field: str, text: str, boost: float) -> np.float32:
@@ -169,8 +303,8 @@ class IndexSearcher:
         )
 
     def _any_field(self) -> Optional[str]:
-        for ds in self.device_segments:
-            for name in ds.fields:
+        for seg in self._host_segments():
+            for name in seg.fields:
                 return name
         return None
 
@@ -305,7 +439,7 @@ class IndexSearcher:
         }
         out = []
         for si, ds in enumerate(self.device_segments):
-            f = ds.fields.get(field)
+            f = ds.fields.get(field) if ds is not None else None
             if f is None:
                 out.append(None)
                 continue
@@ -462,6 +596,7 @@ class IndexSearcher:
     def search(self, query: Query, k: int = 10) -> TopDocs:
         from diagon_tpu.observability.profiler import ProfileScope
 
+        self._ensure_resident()
         tc = self._term_clauses(query)
         if tc is not None:
             field, clauses, min_should = tc
@@ -483,6 +618,14 @@ class IndexSearcher:
             with ProfileScope("execute"):
                 for si, plan in enumerate(plans):
                     if plan is None:
+                        # tier-demoted segment: serve from the HOST tier
+                        if (
+                            self._tier is not None
+                            and self.device_segments[si] is None
+                        ):
+                            parts.append(
+                                self._host_segment_topdocs(si, query, k)
+                            )
                         continue
                     ex = (
                         ctx.row_executors[si] if use_row else ctx.executors[si]
@@ -506,6 +649,13 @@ class IndexSearcher:
         segment. Results are identical to per-query ``search``; throughput is
         the point (the reference has no equivalent — it is single-query
         doc-at-a-time)."""
+        self._ensure_resident()
+        if self._tier is not None and any(
+            ds is None for ds in self.device_segments
+        ):
+            # working set exceeds the HBM budget: per-query path handles
+            # the HOST-tier segments
+            return [self.search(q, k) for q in queries]
         flat: List[Tuple[str, List[Tuple[TermQuery, Occur]], int]] = []
         for q in queries:
             tc = self._term_clauses(q)
@@ -563,6 +713,14 @@ class IndexSearcher:
         waiting for results. Use with ``collect_batch`` to pipeline many
         batches through the device (the serving pattern: readback latency
         amortizes across in-flight batches)."""
+        self._ensure_resident()
+        if self._tier is not None and any(
+            ds is None for ds in self.device_segments
+        ):
+            raise MemoryError(
+                "dispatch_batch requires the full working set resident; "
+                "the HBM budget is too small for these segments"
+            )
         flat = []
         for q in queries:
             qp = self._cached_query_plans(q)
@@ -623,10 +781,13 @@ class IndexSearcher:
         return [merge_top_docs(parts, k) for parts in results]
 
     def count(self, query: Query) -> int:
+        self._ensure_resident()
         # O(1) fast paths (reference Weight::count, IndexSearcher.cpp:128):
         # with no deletes, a term's count is its docFreq and match-all is
         # maxDoc — no device round trip.
-        if all(ds.live_docs is None for ds in self.device_segments):
+        if all(
+            s.live_docs is None for s in self._host_segments()
+        ):
             if isinstance(query, TermQuery):
                 return self.term_doc_freq(query.term.field, query.term.text)
             if isinstance(query, MatchAllDocsQuery):
@@ -650,6 +811,13 @@ class IndexSearcher:
             total = 0
             for si, plan in enumerate(plans):
                 if plan is None:
+                    if (
+                        self._tier is not None
+                        and self.device_segments[si] is None
+                    ):
+                        total += self._host_segment_topdocs(
+                            si, query, 1
+                        ).total_hits
                     continue
                 ex = ctx.row_executors[si] if use_row else ctx.executors[si]
                 total += ex.count(plan)
@@ -660,12 +828,13 @@ class IndexSearcher:
     def _search_phrase(self, query: PhraseQuery, k: int) -> TopDocs:
         from diagon_tpu.search.phrase import PhraseExecutor
 
+        self._ensure_resident()
         ctx = self._ctx(query.field)
         execs = self._phrase_execs.get(query.field)
         if execs is None:
             execs = [
                 PhraseExecutor(ds, query.field, ctx.tf_lut)
-                if query.field in ds.fields
+                if ds is not None and query.field in ds.fields
                 else None
                 for ds in self.device_segments
             ]
@@ -686,6 +855,12 @@ class IndexSearcher:
         parts: List[TopDocs] = []
         for si, ex in enumerate(execs):
             if ex is None:
+                if (
+                    self._tier is not None
+                    and self.device_segments[si] is None
+                    and query.field in self._host_segments()[si].fields
+                ):
+                    parts.append(self._host_segment_topdocs(si, query, k))
                 continue
             res = ex.top_k(query.terms, idf, k)
             if res is None:
@@ -696,6 +871,8 @@ class IndexSearcher:
 
     # -- fallback (host scalar) ----------------------------------------------
     def _host_segments(self) -> List[SegmentData]:
+        if self._tier is not None:
+            return self._host_segs
         segs = []
         for ds in self.device_segments:
             if ds.source is None:

@@ -36,10 +36,16 @@ NUM_BINS = 255
 class SparseIndex:
     """Immutable quantized sparse index over a corpus of sparse vectors."""
 
-    def __init__(self, seg: SegmentData, scales: Dict[str, float]):
+    def __init__(self, seg: SegmentData, scales: Dict[str, float],
+                 exact: Optional[Dict[str, Tuple[np.ndarray, np.ndarray]]]
+                 = None):
         self.segment = seg
         self.scales = scales
         self.num_docs = seg.num_docs
+        # exact per-term CSR (docs i32 asc, weights f32) — the SindiIndex
+        # role (reference SindiIndex.h:20-70 is EXACT accumulation); used
+        # by the exact search mode and the rerank stage.
+        self.exact = exact or {}
 
     @staticmethod
     def build(vectors: Sequence[SparseVector], name: str = "_sparse") -> "SparseIndex":
@@ -52,6 +58,7 @@ class SparseIndex:
 
         postings = {}
         scales: Dict[str, float] = {}
+        exact: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
         for t, (docs, ws) in by_term.items():
             key = str(t)
             ws_arr = np.asarray(ws, dtype=np.float32)
@@ -63,6 +70,7 @@ class SparseIndex:
             ).astype(np.int64)
             postings[key] = (np.asarray(docs, dtype=np.int64), bins)
             scales[key] = scale
+            exact[key] = (np.asarray(docs, dtype=np.int32), ws_arr)
 
         pp = build_packed_postings(postings)
         pp.doc_count_with_field = len(vectors)
@@ -72,7 +80,7 @@ class SparseIndex:
             norms=np.zeros(len(vectors), dtype=np.uint8),
             with_positions=False,
         )
-        return SparseIndex(seg, scales)
+        return SparseIndex(seg, scales, exact)
 
     def dequantized_weight(self, term: int, bin_value: int) -> float:
         return self.scales[str(term)] * bin_value
@@ -159,6 +167,87 @@ class SparseSearcher:
         )
         n = min(int(hits), k)
         return scores[:n], docs[:n], int(hits)
+
+    # -- exact paths (the SindiIndex role + BlockMaxQuantizedIndex rerank) --
+    def _exact_rescore(self, query: SparseVector, cands: np.ndarray):
+        """Exact f32 dot products for candidate docs, terms accumulated in
+        ascending term-id order (the deterministic contract; matches
+        search_exact brute force bit-for-bit)."""
+        order = np.argsort(np.asarray(query.ids, dtype=np.int64))
+        out = np.zeros(len(cands), dtype=np.float32)
+        for j in order:
+            key = str(int(query.ids[j]))
+            e = self.index.exact.get(key)
+            if e is None:
+                continue
+            docs_t, w_t = e
+            loc = np.searchsorted(docs_t, cands)
+            loc_c = np.minimum(loc, len(docs_t) - 1)
+            hit = docs_t[loc_c] == cands
+            contrib = np.where(
+                hit, np.float32(query.values[j]) * w_t[loc_c], np.float32(0)
+            ).astype(np.float32)
+            out = (out + contrib).astype(np.float32)
+        return out
+
+    def search_rerank(
+        self, query: SparseVector, k: int = 10, R: int = 4096
+    ):
+        """Exact top-k via quantized candidate selection + exact rescore
+        (the reference BlockMaxQuantizedIndex rerank stage,
+        BlockMaxQuantizedIndex.h:13-56) with an exactness certificate:
+
+        per-doc |exact - quantized| <= hw = 0.5 * sum_t q_w[t]*scale[t],
+        so if the exact k-th candidate score clears the quantized score of
+        the first EXCLUDED candidate plus hw, no excluded doc can enter
+        the top k; otherwise escalate R (up to the full match set), so
+        recall is always 1.0.
+        """
+        hw = np.float32(0.0)
+        for t, w in zip(query.ids, query.values):
+            s = self.index.scales.get(str(int(t)))
+            if s is not None:
+                hw += np.float32(0.5) * np.float32(w) * np.float32(s)
+        while True:
+            RR = min(max(R, k), self.num_docs_pad)
+            qs, qd, hits = self.search(query, k=RR)
+            if len(qd) == 0:
+                return qs[:k], qd[:k], hits
+            exact = self._exact_rescore(query, qd)
+            order = np.lexsort((qd, -exact))[: min(k, len(qd))]
+            top_docs = qd[order]
+            top_scores = exact[order]
+            covered = len(qd) >= hits  # every matching doc was rescored
+            if not covered:
+                theta = top_scores[-1] if len(top_scores) >= k else None
+                q_excl_upper = qs[-1] + hw  # quantized scores descend
+                if theta is None or not (theta > q_excl_upper):
+                    R = RR * 4
+                    continue
+            return top_scores, top_docs, int(hits)
+
+    def search_exact(self, query: SparseVector, k: int = 10):
+        """Brute-force exact search (test oracle for the rerank path)."""
+        scores = np.zeros(self.index.num_docs, dtype=np.float32)
+        matched = np.zeros(self.index.num_docs, dtype=bool)
+        order = np.argsort(np.asarray(query.ids, dtype=np.int64))
+        for j in order:
+            key = str(int(query.ids[j]))
+            e = self.index.exact.get(key)
+            if e is None:
+                continue
+            docs_t, w_t = e
+            scores[docs_t] = (
+                scores[docs_t] + np.float32(query.values[j]) * w_t
+            ).astype(np.float32)
+            matched[docs_t] = True
+        idx = np.lexsort((np.arange(len(scores)), -scores))
+        idx = [d for d in idx if matched[d]][:k]
+        return (
+            scores[idx].astype(np.float32),
+            np.asarray(idx, np.int32),
+            int(matched.sum()),
+        )
 
     def search_batch(self, queries: Sequence[SparseVector], k: int = 10):
         """Batched top-k: list of (scores, docids, hits) per query. Plans

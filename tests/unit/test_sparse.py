@@ -118,3 +118,70 @@ def test_alpha_clause_pruning():
     # alpha=1.0 path unchanged vs oracle
     os_, od, _ = searcher.search_oracle(q, 10)
     np.testing.assert_array_equal(full_d, od)
+
+
+def test_rerank_exact_parity_fuzz():
+    """search_rerank must equal brute-force exact search bit-for-bit
+    (docids, f32 scores, hit counts) on fuzzed corpora — the reference's
+    SindiIndex is exact and BlockMaxQuantizedIndex reranks; round 1 had
+    only the quantized path (recall 0.975)."""
+    from diagon_tpu.sparse.index import SparseIndex, SparseSearcher
+    from diagon_tpu.sparse.vector import SparseVector
+
+    rng = np.random.Generator(np.random.PCG64(77))
+    for trial in range(4):
+        n_docs = int(rng.integers(300, 900))
+        vocab = int(rng.integers(50, 200))
+        vecs = []
+        for _ in range(n_docs):
+            nnz = int(rng.integers(2, 12))
+            ids = rng.choice(vocab, nnz, replace=False)
+            vals = (rng.random(nnz) * 4 + 0.05).astype(np.float32)
+            vecs.append(SparseVector(ids, vals))
+        idx = SparseIndex.build(vecs)
+        s = SparseSearcher(idx)
+        for _ in range(6):
+            nnz = int(rng.integers(1, 8))
+            q = SparseVector(
+                rng.choice(vocab, nnz, replace=False),
+                (rng.random(nnz) * 2 + 0.1).astype(np.float32),
+            )
+            k = int(rng.integers(1, 20))
+            # tiny R forces the certificate + escalation path
+            gs, gd, gh = s.search_rerank(q, k=k, R=16)
+            ws, wd, wh = s.search_exact(q, k=k)
+            np.testing.assert_array_equal(gd, wd)
+            np.testing.assert_array_equal(gs, ws)
+            assert gh == wh
+
+
+def test_rerank_improves_on_quantized():
+    """There exist queries where quantized-only top-k differs from exact;
+    rerank must fix them (this is the recall gap rerank exists for)."""
+    from diagon_tpu.sparse.index import SparseIndex, SparseSearcher
+    from diagon_tpu.sparse.vector import SparseVector
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    vecs = []
+    for _ in range(600):
+        nnz = int(rng.integers(3, 10))
+        ids = rng.choice(80, nnz, replace=False)
+        vals = (rng.random(nnz) * 6 + 0.01).astype(np.float32)
+        vecs.append(SparseVector(ids, vals))
+    idx = SparseIndex.build(vecs)
+    s = SparseSearcher(idx)
+    diffs = 0
+    for _ in range(20):
+        nnz = int(rng.integers(2, 6))
+        q = SparseVector(
+            rng.choice(80, nnz, replace=False),
+            (rng.random(nnz) + 0.1).astype(np.float32),
+        )
+        qs, qd, _ = s.search(q, k=10)
+        ws, wd, _ = s.search_exact(q, k=10)
+        gs, gd, _ = s.search_rerank(q, k=10)
+        np.testing.assert_array_equal(gd, wd)
+        np.testing.assert_array_equal(gs, ws)
+        if list(qd) != list(wd):
+            diffs += 1
+    assert diffs >= 1, "fuzz never exercised the quantized/exact gap"

@@ -86,3 +86,66 @@ def test_validator_tool(tmp_path):
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "RESULT: OK" in r.stdout
+
+
+def test_tier_managed_searcher_evicts_and_stays_exact():
+    """VERDICT round 1: TierManager must actually manage residency. A
+    budget that fits ~2 of 3 segments forces LRU demotion; every query
+    stays bit-exact (HOST-tier segments are served by the oracle path)."""
+    import numpy as np
+
+    from diagon_tpu.document import Document, TextField
+    from diagon_tpu.index.memory_index import MemoryIndex
+    from diagon_tpu.index.segment import flush_memory_index
+    from diagon_tpu.observability.storage_tiers import StorageTier
+    from diagon_tpu.search.oracle import OracleSearcher
+    from diagon_tpu.search.query import BooleanQuery, Occur, TermQuery
+    from diagon_tpu.search.searcher import IndexSearcher
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    vocab = [f"w{i}" for i in range(30)] + ["oil", "price"]
+    segs = []
+    for si in range(3):
+        mem = MemoryIndex()
+        for _ in range(400):
+            mem.add_document(
+                Document().add(
+                    TextField("body", " ".join(rng.choice(vocab, 20)))
+                )
+            )
+        segs.append(flush_memory_index(mem, f"_t{si}"))
+
+    est = IndexSearcher._estimate_device_bytes(segs[0])
+    budget = int(est * 2.5)  # fits 2, not 3
+    s = IndexSearcher(segs, hbm_budget_bytes=budget)
+    oracle = OracleSearcher(segs)
+
+    tiers = [e["tier"] for e in s.tier_stats().values()]
+    assert tiers.count(StorageTier.DEVICE.value) == 2
+    assert tiers.count(StorageTier.HOST.value) == 1
+
+    q1 = TermQuery("body", "oil")
+    b = BooleanQuery.Builder()
+    b.add(TermQuery("body", "oil"), Occur.SHOULD)
+    b.add(TermQuery("body", "price"), Occur.SHOULD)
+    q2 = b.build()
+    for q in (q1, q2, q1):
+        got, want = s.search(q, 10), oracle.search(q, 10)
+        assert got.doc_ids() == want.doc_ids()
+        assert got.total_hits == want.total_hits
+        for o, d in zip(want.score_docs, got.score_docs):
+            assert o.score == d.score
+        assert s.count(q) == oracle.count(q)
+
+    # a generous budget promotes everything and serves on device
+    s2 = IndexSearcher(segs, hbm_budget_bytes=est * 10)
+    assert all(
+        e["tier"] == StorageTier.DEVICE.value
+        for e in s2.tier_stats().values()
+    )
+    got, want = s2.search(q2, 10), oracle.search(q2, 10)
+    assert got.doc_ids() == want.doc_ids()
+
+    # demotion actually frees: a too-small-for-all budget leaves exactly
+    # the LRU victims non-resident
+    assert sum(ds is None for ds in s.device_segments) == 1
