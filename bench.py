@@ -141,6 +141,22 @@ def main():
         log(f"parity: all {len(REUTERS_QUERIES)} queries bit-exact "
             f"({time.time() - t0:.1f}s)")
 
+    # corpus honesty: synthetic vs REAL-Reuters term/phrase density
+    # (reference diagon_baseline.json hit counts; ours are denser, i.e.
+    # every benchmark query does MORE scoring work here)
+    from diagon_tpu.bench.queries import REFERENCE_REUTERS_HITS
+
+    cmp_rows = {}
+    for name, ref_hits in REFERENCE_REUTERS_HITS.items():
+        q = REUTERS_QUERIES.get(name)
+        if q is not None:
+            cmp_rows[name] = {
+                "synthetic": searcher.count(q),
+                "real_reuters": ref_hits,
+            }
+    log("corpus density vs real Reuters (hits per query): "
+        + json.dumps(cmp_rows))
+
     # ---- per-query latency (single-stream, like the reference bench) ----
     # NOTE: in this environment the TPU sits behind a tunnel with ~25 ms
     # device->host readback latency, which floors single-stream numbers;

@@ -82,3 +82,23 @@ def reuters_queries() -> Dict[str, Query]:
 
 
 REUTERS_QUERIES = reuters_queries()
+
+
+# Reference-published per-query hit counts on REAL Reuters-21578
+# (/root/reference/benchmark_results/diagon_baseline.json; single-term hits
+# are the terms' document frequencies). The synthetic corpus plants the
+# benchmark terms at high Zipf ranks, so OUR dfs are several times larger —
+# every benchmark query does MORE scoring work here than on real Reuters
+# (the divergence is conservative for throughput claims). bench.py prints
+# the measured comparison each run.
+REFERENCE_REUTERS_HITS = {
+    "term:dollar": 983,
+    "term:oil": 1368,
+    "term:trade": 1868,
+    "and2:oil+price": 332,
+    "phrase:oil price": 55,
+    "phrase:trade deficit": 220,
+    "phrase:interest rate": 233,
+    "phrase:stock market": 167,
+    "phrase:federal reserve bank": 25,
+}
