@@ -224,7 +224,7 @@ def main():
             seg1m, _ = pickle.load(f)
         t0 = time.time()
         s1m = IndexSearcher([seg1m])
-        QS = 512
+        QS = 1024
         b1m = [or20] * QS
         h = s1m.dispatch_batch(b1m, 10)
         res1m = s1m.collect_batch(h)

@@ -48,8 +48,10 @@ HEAVY_MIN_DF = 256
 PRUNE_MIN_DOCS = 1 << 18
 # Initial candidate-tile budget per query. The approx selection phase is
 # near-exact (bf16-relative bound), so the true top-k live in <= k tiles;
-# 64 leaves a wide tie margin and the certificate escalates when starved.
-PRUNE_B0 = 64
+# 32 leaves a tie margin and the certificate escalates when starved
+# (measured at 1M docs: B=24-32 beats 64 by ~12% with zero escalations
+# on the benchmark queries).
+PRUNE_B0 = 32
 
 
 def _bucket(n: int, minimum: int = 8) -> int:
@@ -615,6 +617,172 @@ def _build_bank_device(
     return bank[:H]
 
 
+@partial(jax.jit, static_argnames=("k", "B"))
+def row_score_topk_approx_bool(
+    heavy_bank,  # f32 [H, D] exact rows (rescore)
+    heavy_bank_bf16,  # bf16 [H8, D]
+    heavy_presence_bf16,  # bf16 [H8, D] 0/1
+    light_bank,  # f32 [L, D] (row 0 all-zero)
+    light_bank_bf16,  # bf16 [L8, D]
+    light_presence_bf16,  # bf16 [L8, D]
+    live,  # f32 [D]
+    hidx,  # int32 [Q, Tq]
+    lidx,  # int32 [Q, Tq]
+    scoring,  # bool [Q, Tq]
+    req,  # f32 [Q, Tq]
+    sho,  # f32 [Q, Tq]
+    neg,  # f32 [Q, Tq]
+    bool_params,  # f32 [Q, 2] (num_required, min_should)
+    a_score_h,  # f32 [Q, H8] indicators of scoring clauses
+    a_score_l,  # f32 [Q, L8]
+    a_req_h,  # f32 [Q, H8]
+    a_req_l,
+    a_sho_h,
+    a_sho_l,
+    a_neg_h,
+    a_neg_l,
+    *,
+    k: int,
+    B: int,
+):
+    """Pruned GENERAL-boolean scoring for query batches (the
+    MaxScoreBulkScorer role for MUST/FILTER/SHOULD/MUST_NOT trees).
+
+    Clause-presence counts are EXACT via indicator matmuls over a 0/1
+    presence bank (products are 0/1 and the f32 accumulation of <= Tq ones
+    is exact), so the match mask and hit counts equal the oracle's.
+    Candidate tiles come from the bf16 approx score bounded by the
+    relative certificate AND gated on per-tile feasibility (a tile with no
+    matching doc cannot contribute); the rescore re-derives scores and
+    counts from the exact f32 rows in oracle clause order."""
+    H, D = heavy_bank.shape
+    G = D // LANE
+    Bk = min(B, G)
+    heavy_tiles = heavy_bank.reshape(H * G, LANE)
+    light_tiles = light_bank.reshape(-1, LANE)
+    live_tiles = live.reshape(G, LANE)
+    light_small = light_bank.shape[0] == 1
+    Q = hidx.shape[0]
+
+    def mm(a_h, a_l, bank_h, bank_l):
+        out = jnp.dot(
+            a_h.astype(jnp.bfloat16),
+            bank_h,
+            preferred_element_type=jnp.float32,
+        )
+        if not light_small:
+            out = out + jnp.dot(
+                a_l.astype(jnp.bfloat16),
+                bank_l,
+                preferred_element_type=jnp.float32,
+            )
+        return out  # [Q, D]
+
+    approx = mm(a_score_h, a_score_l, heavy_bank_bf16, light_bank_bf16)
+    req_c = mm(a_req_h, a_req_l, heavy_presence_bf16, light_presence_bf16)
+    sho_c = mm(a_sho_h, a_sho_l, heavy_presence_bf16, light_presence_bf16)
+    neg_c = mm(a_neg_h, a_neg_l, heavy_presence_bf16, light_presence_bf16)
+
+    nreq = bool_params[:, 0][:, None]
+    msm = bool_params[:, 1][:, None]
+    match = (
+        (req_c == nreq)
+        & (sho_c >= msm)
+        & (neg_c == 0)
+        & ((req_c + sho_c) > 0)
+        & (live[None, :] > 0)
+    )  # [Q, D] EXACT
+    hits = jnp.sum(match, axis=1, dtype=jnp.int32)
+    feasible = jnp.any(match.reshape(Q, G, LANE), axis=-1)  # [Q, G]
+    tile_upper = jnp.where(
+        feasible,
+        approx.reshape(Q, G, LANE).max(axis=-1)
+        * (jnp.float32(1.0) + _APPROX_RELEPS),
+        jnp.float32(-1.0),
+    )
+
+    def one_query(hidx_q, lidx_q, sc_q, req_q, sho_q, neg_q, params_q,
+                  upper_q):
+        if Bk < G:
+            utop, tfull = jax.lax.top_k(upper_q, Bk + 1)
+            tsel = jnp.sort(tfull[:Bk])
+            u_next = utop[Bk]
+        else:
+            tsel = jnp.arange(G, dtype=jnp.int32)
+            u_next = None
+
+        # exact rescore: scores + boolean counts over the selected tiles,
+        # identical add sequence to the exhaustive kernel
+        def step(carry, inp):
+            scores, rc, oc, nc = carry
+            hi, li, sc, r, s, n = inp
+            rowh = heavy_tiles[jnp.maximum(hi, 0) * G + tsel]
+            if light_small:
+                rows = jnp.where(hi >= 0, rowh, jnp.float32(0.0))
+            else:
+                rowl = light_tiles[jnp.maximum(li, 0) * G + tsel]
+                rows = jnp.where(hi >= 0, rowh, rowl)
+            present = jnp.where(rows > 0, jnp.float32(1.0), jnp.float32(0.0))
+            scores = scores + jnp.where(sc, rows, jnp.float32(0.0))
+            return (
+                scores,
+                rc + r * present,
+                oc + s * present,
+                nc + n * present,
+            ), None
+
+        z = jnp.zeros((Bk, LANE), jnp.float32)
+        (scores, rc, oc, nc), _ = jax.lax.scan(
+            step, (z, z, z, z), (hidx_q, lidx_q, sc_q, req_q, sho_q, neg_q)
+        )
+        lv = live_tiles[tsel]
+        mask = (
+            (rc == params_q[0])
+            & (oc >= params_q[1])
+            & (nc == 0)
+            & ((rc + oc) > 0)
+            & (lv > 0)
+        )
+        final = jnp.where(mask, scores, jnp.float32(-1.0))
+        dgrid = tsel[:, None] * LANE + jax.lax.broadcasted_iota(
+            jnp.int32, (1, LANE), 1
+        )
+        tmax = jnp.max(final, axis=1)
+        _, top_tiles = jax.lax.top_k(tmax, min(k, Bk))
+        cand = final[top_tiles].reshape(-1)
+        cand_docs = dgrid[top_tiles].reshape(-1)
+        negk, dsort = jax.lax.sort(
+            (jnp.negative(cand), cand_docs),
+            dimension=0,
+            is_stable=True,
+            num_keys=2,
+        )
+        top_scores = -negk[:k]
+        top_docs = dsort[:k]
+        if u_next is None:
+            safe = jnp.ones((1,), jnp.float32)
+        else:
+            theta = top_scores[k - 1]
+            safe = ((theta > u_next) | (u_next <= 0)).astype(jnp.float32)[
+                None
+            ]
+        return jnp.concatenate(
+            [top_scores, top_docs.astype(jnp.float32), safe]
+        )
+
+    fused = jax.vmap(one_query)(
+        hidx, lidx, scoring, req, sho, neg, bool_params, tile_upper
+    )
+    return jnp.concatenate(
+        [
+            fused[:, : 2 * k],
+            hits[:, None].astype(jnp.float32),
+            fused[:, 2 * k :],
+        ],
+        axis=1,
+    )
+
+
 class RowFieldIndex:
     """Host+device state to produce per-term dense score rows."""
 
@@ -655,6 +823,7 @@ class RowFieldIndex:
         self.heavy_bits = None
         self.heavy_rowmax = None
         self.heavy_bank_bf16 = None
+        self.heavy_presence_bf16 = None
 
     def host_row(self, tid: int, weight: np.float32) -> np.ndarray:
         """Dense f32 score row for one term: weight * tf_factor scattered
@@ -743,6 +912,9 @@ class RowFieldIndex:
             self.heavy_bank_bf16 = _pad_rows8(
                 self.heavy_bank.astype(jnp.bfloat16)
             )
+            self.heavy_presence_bf16 = (
+                self.heavy_bank_bf16 > 0
+            ).astype(jnp.bfloat16)
 
 
 # ---------------------------------------------------------------------------
@@ -974,41 +1146,68 @@ class RowExecutor:
         light_aux = (
             build_tile_aux(light_bank) if self.index.prunable else (None, None)
         )
-        # clause-indicator matrices for the approx-matmul selection phase
-        # (widths match the 8-padded bf16 banks the matmul reads)
+        # clause-indicator matrices for the approx-matmul selection phase,
+        # split by role (widths match the 8-padded bf16 banks): scoring
+        # clauses drive the approx score, req/sho/neg drive the EXACT
+        # presence-count matmuls of the general-boolean pruned kernel
         hidx_arr = pad(lambda p: p.hidx, np.int32, fill=-1)
+        sc_arr = pad(lambda p: p.scoring, bool)
+        rq_arr = pad(lambda p: p.req, np.float32)
+        sh_arr = pad(lambda p: p.sho, np.float32)
+        ng_arr = pad(lambda p: p.neg, np.float32)
         if self.index.heavy_bank_bf16 is not None:
             n_heavy_rows = int(self.index.heavy_bank_bf16.shape[0])
         elif self.index.heavy_bank is not None:
             n_heavy_rows = int(self.index.heavy_bank.shape[0])
         else:
             n_heavy_rows = 1
-        a_heavy = np.zeros((len(plans), n_heavy_rows), np.float32)
-        a_light = np.zeros((len(plans), -(-nrows // 8) * 8), np.float32)
-        for qi in range(len(plans)):
-            for hi, li in zip(hidx_arr[qi], lidx[qi]):
-                if hi >= 0:
-                    a_heavy[qi, hi] += 1.0
-                elif li > 0:
-                    a_light[qi, li] += 1.0
-        light_bf16 = (
-            _pad_rows8(light_bank.astype(jnp.bfloat16))
-            if self.index.prunable
-            else None
-        )
+        nl8 = -(-nrows // 8) * 8
+        nq = len(plans)
+        a_mats = {
+            r: (np.zeros((nq, n_heavy_rows), np.float32),
+                np.zeros((nq, nl8), np.float32))
+            for r in ("score", "req", "sho", "neg")
+        }
+        for qi in range(nq):
+            for ci, (hi, li) in enumerate(zip(hidx_arr[qi], lidx[qi])):
+                roles = []
+                if sc_arr[qi, ci]:
+                    roles.append("score")
+                if rq_arr[qi, ci] > 0:
+                    roles.append("req")
+                if sh_arr[qi, ci] > 0:
+                    roles.append("sho")
+                if ng_arr[qi, ci] > 0:
+                    roles.append("neg")
+                for r in roles:
+                    if hi >= 0:
+                        a_mats[r][0][qi, hi] += 1.0
+                    elif li > 0:
+                        a_mats[r][1][qi, li] += 1.0
+        a_heavy, a_light = a_mats["score"]
+        light_bf16 = None
+        light_presence_bf16 = None
+        if self.index.prunable:
+            light_bf16 = _pad_rows8(light_bank.astype(jnp.bfloat16))
+            light_presence_bf16 = (light_bf16 > 0).astype(jnp.bfloat16)
         return (
             jnp.asarray(hidx_arr),
             jnp.asarray(lidx),
-            jnp.asarray(pad(lambda p: p.scoring, bool)),
-            jnp.asarray(pad(lambda p: p.req, np.float32)),
-            jnp.asarray(pad(lambda p: p.sho, np.float32)),
-            jnp.asarray(pad(lambda p: p.neg, np.float32)),
+            jnp.asarray(sc_arr),
+            jnp.asarray(rq_arr),
+            jnp.asarray(sh_arr),
+            jnp.asarray(ng_arr),
             jnp.asarray(
                 [[p.num_required, p.min_should] for p in plans], jnp.float32
             ),
             light_bank,
             light_aux,
-            (jnp.asarray(a_heavy), jnp.asarray(a_light), light_bf16),
+            (
+                {r: (jnp.asarray(h), jnp.asarray(l))
+                 for r, (h, l) in a_mats.items()},
+                light_bf16,
+                light_presence_bf16,
+            ),
         )
 
     def _entry(self, plans: Sequence[RowPlan]):
@@ -1050,17 +1249,23 @@ class RowExecutor:
     approx_min_q: int = 8
 
     def _use_pruned(self, plans: Sequence[RowPlan]) -> bool:
-        return (
+        if not (
             self.index.prunable
             and self.index.heavy_ub is not None
             and self.index.num_docs_pad >= self.prune_min_docs
-            and all(p.pure_or for p in plans)
-        )
+        ):
+            return False
+        if all(p.pure_or for p in plans):
+            return True
+        # general booleans prune only in batch mode (the presence-count
+        # matmuls need the batch to amortize the bank reads)
+        return len(plans) >= self.approx_min_q
 
     def _dispatch_pruned(self, plans: Sequence[RowPlan], k: int):
-        (hidx, lidx, *_mid, light_bank, light_aux, amats) = self._entry(
-            plans
-        )[1]
+        (
+            hidx, lidx, scoring, req, sho, neg, bool_params, light_bank,
+            light_aux, amats,
+        ) = self._entry(plans)[1]
         idx = self.index
         G = idx.num_docs_pad // LANE
         B = min(G, max(self.prune_B0, -(-k // LANE) + 1))
@@ -1070,10 +1275,39 @@ class RowExecutor:
             light_bits = jnp.zeros(
                 (1, idx.num_docs_pad // 32), jnp.uint32
             )
+        pure_or = all(p.pure_or for p in plans)
+        a_role, light_bf16, light_presence_bf16 = amats
+        if not pure_or:
+            return row_score_topk_approx_bool(
+                idx.heavy_bank,
+                idx.heavy_bank_bf16,
+                idx.heavy_presence_bf16,
+                light_bank,
+                light_bf16,
+                light_presence_bf16,
+                idx.live,
+                hidx,
+                lidx,
+                scoring,
+                req,
+                sho,
+                neg,
+                bool_params,
+                a_role["score"][0],
+                a_role["score"][1],
+                a_role["req"][0],
+                a_role["req"][1],
+                a_role["sho"][0],
+                a_role["sho"][1],
+                a_role["neg"][0],
+                a_role["neg"][1],
+                k=k,
+                B=B,
+            )
         if len(plans) >= self.approx_min_q:
             import jax as _jax
 
-            a_heavy, a_light, light_bf16 = amats
+            a_heavy, a_light = a_role["score"]
             return row_score_topk_approx_or(
                 idx.heavy_bank,
                 idx.heavy_bank_bf16,
@@ -1145,7 +1379,9 @@ class RowExecutor:
             (heavy, light, live, hidx, lidx, *_rest) = args
             import jax
 
-            if self.use_pallas and heavy.shape[1] % 1024 == 0:
+            if not all(p.pure_or for p in sub):
+                sub_fused = row_score_topk(*args, k=k)
+            elif self.use_pallas and heavy.shape[1] % 1024 == 0:
                 sub_fused = row_score_topk_pure_or_pallas(
                     heavy, light, live, hidx, lidx, k=k,
                     interpret=jax.default_backend() == "cpu",

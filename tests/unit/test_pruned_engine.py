@@ -188,3 +188,78 @@ def test_pruned_fuzz_random_or_queries():
         assert got.total_hits == want.total_hits, (terms, k)
         for o, d in zip(want.score_docs, got.score_docs):
             assert o.score == d.score
+
+
+@pytest.mark.parametrize("b0", [2, 8, 10_000])
+def test_pruned_general_boolean_parity(b0):
+    """General MUST/FILTER/SHOULD/MUST_NOT batches through the pruned
+    matmul kernel (presence-count matmuls + feasibility-gated selection),
+    bit-exact vs oracle including starved-budget escalation."""
+    seg = _corpus(n_docs=800, seed=31)
+    searcher = IndexSearcher([seg])
+    _force_pruned(searcher, "body", b0, approx_min_q=1)
+    oracle = OracleSearcher([seg])
+
+    def B(*cl, ms=0):
+        b = BooleanQuery.Builder()
+        for q, o in cl:
+            b.add(q, o)
+        b.set_minimum_number_should_match(ms)
+        return b.build()
+
+    T = lambda t: TermQuery("body", t)
+    queries = [
+        B((T("oil"), Occur.MUST), (T("price"), Occur.MUST)),
+        B((T("oil"), Occur.MUST), (T("w1"), Occur.SHOULD),
+          (T("w2"), Occur.SHOULD)),
+        B((T("oil"), Occur.FILTER), (T("price"), Occur.SHOULD)),
+        B((T("oil"), Occur.SHOULD), (T("price"), Occur.SHOULD),
+          (T("w3"), Occur.MUST_NOT)),
+        B((T("oil"), Occur.SHOULD), (T("price"), Occur.SHOULD),
+          (T("trade"), Occur.SHOULD), ms=2),
+        B((T("zzz_missing"), Occur.MUST), (T("oil"), Occur.SHOULD)),
+        B((T("oil"), Occur.FILTER)),  # filter-only: score-0 matches
+    ]
+    for q in queries:
+        want = oracle.search(q, 10)
+        got = searcher.search(q, 10)
+        assert got.doc_ids() == want.doc_ids(), q
+        assert got.total_hits == want.total_hits, q
+        for o, d in zip(want.score_docs, got.score_docs):
+            assert o.score == d.score, (q, o, d)
+
+
+def test_pruned_general_boolean_fuzz():
+    rng = np.random.Generator(np.random.PCG64(123))
+    seg = _corpus(n_docs=700, vocab=30, seed=13)
+    searcher = IndexSearcher([seg])
+    _force_pruned(searcher, "body", 4, approx_min_q=1)
+    oracle = OracleSearcher([seg])
+    vocab = [f"w{i}" for i in range(30)] + ["oil", "price", "rare1", "nope"]
+    occurs = [Occur.MUST, Occur.SHOULD, Occur.FILTER, Occur.MUST_NOT]
+    checked = 0
+    for _ in range(30):
+        n = int(rng.integers(2, 7))
+        b = BooleanQuery.Builder()
+        n_should = 0
+        for _ in range(n):
+            o = occurs[int(rng.integers(4))]
+            if o == Occur.SHOULD:
+                n_should += 1
+            b.add(TermQuery("body", str(rng.choice(vocab))), o)
+        if n_should and rng.random() < 0.4:
+            b.set_minimum_number_should_match(
+                int(rng.integers(1, n_should + 1))
+            )
+        q = b.build()
+        if searcher._term_clauses(q) is None:
+            continue
+        k = int(rng.integers(1, 20))
+        want = oracle.search(q, k)
+        got = searcher.search(q, k)
+        assert got.doc_ids() == want.doc_ids(), q
+        assert got.total_hits == want.total_hits, q
+        for o_, d_ in zip(want.score_docs, got.score_docs):
+            assert o_.score == d_.score
+        checked += 1
+    assert checked >= 20
