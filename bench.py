@@ -255,6 +255,29 @@ def main():
             f"= {sqps / BASELINE_OR20_QPS:.2f}x baseline")
         del s1m, seg1m
 
+    # ---- component benchmarks (columnar / sparse), recorded per run ----
+    comp = {}
+    if not args.quick:
+        import subprocess
+
+        for name, cmd in (
+            ("columnar", [sys.executable, "benchmarks/columnar_bench.py",
+                          "--rows", "1000000"]),
+            ("sparse", [sys.executable, "benchmarks/sparse_bench.py",
+                        "--docs", "50000"]),
+        ):
+            try:
+                out = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=900
+                )
+                line = out.stdout.strip().splitlines()[-1] if out.stdout else ""
+                comp[name] = json.loads(line) if line.startswith("{") else {
+                    "rc": out.returncode
+                }
+            except Exception as exc:  # pragma: no cover
+                comp[name] = {"error": str(exc)[:200]}
+            log(f"component bench {name}: {comp[name]}")
+
     # ---- durable results file ----
     try:
         import datetime
@@ -272,6 +295,7 @@ def main():
                 f"({qps / BASELINE_OR20_QPS:.2f}x baseline)\n"
                 f"- or20 e2e (tunnel readback): {Q / e2e:,.0f} qps\n"
                 + (f"- scale: {scale}\n" if scale else "")
+                + (f"- components: {json.dumps(comp)}\n" if comp else "")
             )
     except Exception as exc:  # pragma: no cover
         log(f"RESULTS.md write failed: {exc}")
