@@ -214,14 +214,11 @@ def main():
     assert td.total_hits > 0 and len(td.score_docs) == 10
     log(f"or20 end-to-end (incl. tunnel readback): {Q / e2e:,.0f} qps")
 
-    # ---- scale: 1M-doc OR-20 batched throughput (if the cached segment
-    # exists; building the 1M corpus from scratch is a separate step:
-    # python bench.py --build-scale) ----
+    # ---- scale: 1M-doc OR-20 batched throughput (builds + caches the 1M
+    # segment on first run, ~2 min; cached pickle afterwards) ----
     scale = {}
-    scale_cache = os.path.join(CACHE_DIR, "segment_1000000.pkl")
-    if not args.quick and os.path.exists(scale_cache):
-        with open(scale_cache, "rb") as f:
-            seg1m, _ = pickle.load(f)
+    if not args.quick:
+        seg1m, _ = build_or_load_segment(1_000_000, fresh_stats=False)
         t0 = time.time()
         s1m = IndexSearcher([seg1m])
         QS = 1024

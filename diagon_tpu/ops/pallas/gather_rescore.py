@@ -1,0 +1,134 @@
+"""Pallas gather-rescore kernel: phase 2 of block-max pruned scoring.
+
+The pruned path's exact rescore must fetch, for every query, the B
+selected 128-doc tiles of each clause's score row. Expressed as an XLA
+gather this is latency/implementation-bound (~10.7 GB/s for 512-byte
+rows, ~22 GB/s for any larger row — measured on v5e; HBM streams at
+~370 GB/s), and it was the 1M-doc throughput wall.
+
+This kernel owns the fetch instead: the batch's clause rows are first
+compacted into a small tile-major bank ``[G, U8, LANE]`` (U = unique
+rows used by the batch, ~Tq for a homogeneous batch), so one selected
+tile = one contiguous ``[U8, LANE]`` slab. Per query the kernel streams
+its B slabs HBM->VMEM with a ring of ``NSLOT`` in-flight DMAs (manual
+``make_async_copy``; latency hides behind the ring) and accumulates
+clause rows out of VMEM in oracle clause order — sequential f32 adds,
+bit-identical to the XLA scan and the numpy oracle.
+
+Outputs are per-(query, tile) score lanes ``[Q, B, LANE]`` (plus
+presence-count lanes in the boolean variant); tile top-k and the
+exactness certificate stay in XLA (row_engine._topk_in_tiles_q).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NSLOT = 8  # in-flight slab DMAs per query
+
+
+def _mk_kernel(B: int, Tq: int, boolean: bool):
+    def kernel(*refs):
+        if boolean:
+            (cidx_ref, tsel_ref, flags_ref, bank_ref,
+             s_ref, r_ref, o_ref, n_ref, slabs, sems) = refs
+        else:
+            cidx_ref, tsel_ref, bank_ref, s_ref, slabs, sems = refs
+        q = pl.program_id(0)
+
+        # scalar operands arrive TRANSPOSED ([Tq, Q] / [B, Q]): SMEM pads
+        # the minor dim to 128, so Q must ride it (1024x32 padded to
+        # 1024x128 = 512 KB blew the 1 MB SMEM budget).
+        def issue(b, slot):
+            pltpu.make_async_copy(
+                bank_ref.at[tsel_ref[b, q]], slabs.at[slot], sems.at[slot]
+            ).start()
+
+        for b in range(min(NSLOT, B)):
+            issue(b, b % NSLOT)
+
+        for b in range(B):
+            slot = b % NSLOT
+            pltpu.make_async_copy(
+                bank_ref.at[tsel_ref[b, q]], slabs.at[slot], sems.at[slot]
+            ).wait()
+            # sequential f32 adds in clause order (oracle order)
+            acc = jnp.zeros((1, slabs.shape[2]), jnp.float32)
+            if boolean:
+                rc = jnp.zeros_like(acc)
+                oc = jnp.zeros_like(acc)
+                nc = jnp.zeros_like(acc)
+            for t in range(Tq):
+                row = slabs[slot, pl.ds(cidx_ref[t, q], 1), :]
+                if boolean:
+                    fl = flags_ref[t, q]
+                    present = jnp.where(
+                        row > 0, jnp.float32(1.0), jnp.float32(0.0)
+                    )
+                    zero = jnp.zeros_like(row)
+                    acc = acc + jnp.where((fl & 1) != 0, row, zero)
+                    rc = rc + jnp.where((fl & 2) != 0, present, zero)
+                    oc = oc + jnp.where((fl & 4) != 0, present, zero)
+                    nc = nc + jnp.where((fl & 8) != 0, present, zero)
+                else:
+                    acc = acc + row
+            s_ref[0, b, :] = acc[0]
+            if boolean:
+                r_ref[0, b, :] = rc[0]
+                o_ref[0, b, :] = oc[0]
+                n_ref[0, b, :] = nc[0]
+            # reuse the slot only after its slab was consumed
+            if b + NSLOT < B:
+                issue(b + NSLOT, slot)
+
+    return kernel
+
+
+def pallas_gather_rescore(
+    compact_t: jnp.ndarray,  # f32 [G, U8, LANE] tile-major compact bank
+    cidx: jnp.ndarray,  # int32 [Q, Tq] compact row per clause (0 = zero row)
+    tsel: jnp.ndarray,  # int32 [Q, B] selected tiles (ascending)
+    flags: jnp.ndarray = None,  # int32 [Q, Tq] or None for pure-OR
+    *,
+    interpret: bool = False,
+):
+    """scores f32 [Q, B, LANE]; boolean variant also returns req/sho/neg
+    presence-count lanes (each [Q, B, LANE])."""
+    G, U8, LANE = compact_t.shape
+    Q, Tq = cidx.shape
+    B = tsel.shape[1]
+    boolean = flags is not None
+
+    n_out = 4 if boolean else 1
+    scalars = (
+        (cidx.T, tsel.T, flags.T) if boolean else (cidx.T, tsel.T)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalars),
+        grid=(Q,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=tuple(
+            pl.BlockSpec((1, B, LANE), lambda q, *_: (q, 0, 0))
+            for _ in range(n_out)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NSLOT, U8, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((NSLOT,)),
+        ],
+    )
+    outs = pl.pallas_call(
+        _mk_kernel(B, Tq, boolean),
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((Q, B, LANE), jnp.float32)
+            for _ in range(n_out)
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(*scalars, compact_t)
+    return outs if boolean else outs[0]

@@ -313,19 +313,27 @@ def _bitmap_hits_q(hidx_q, lidx_q, heavy_bits, light_bits, live_bits,
     )
 
 
-def _rescore_tiles_q(hidx_q, lidx_q, tsel, heavy_tiles, light_tiles, G,
-                     light_small):
+def _rescore_tiles_q(hidx_q, lidx_q, tsel, heavy_t, light_t, light_small):
     """Exact scores for the selected tiles, accumulated in oracle clause
     order — per-doc f32 adds are the identical sequence the exhaustive
-    kernel performs, so scores are bit-exact."""
+    kernel performs, so scores are bit-exact.
+
+    Reads the TILE-MAJOR bank copies ([G, N8, LANE]): one contiguous
+    [N8, LANE] chunk DMA per selected tile instead of one scattered
+    512-byte row per (clause, tile). The scattered form measured
+    ~10-25M rows/s (latency-bound) and was the 1M-doc throughput wall;
+    chunk gathers stream at HBM bandwidth. Per-clause row selection then
+    slices the already-gathered [B, N8, LANE] block."""
+    gath_h = heavy_t[tsel]  # [B, H8, LANE] contiguous chunk gather
+    gath_l = None if light_small else light_t[tsel]
 
     def step(scores, inp):
         hi, li = inp
-        rowh = heavy_tiles[jnp.maximum(hi, 0) * G + tsel]
+        rowh = gath_h[:, jnp.maximum(hi, 0), :]  # [B, LANE] batched slice
         if light_small:
             rows = jnp.where(hi >= 0, rowh, jnp.float32(0.0))
         else:
-            rowl = light_tiles[jnp.maximum(li, 0) * G + tsel]
+            rowl = gath_l[:, jnp.maximum(li, 0), :]
             rows = jnp.where(hi >= 0, rowh, rowl)
         return scores + rows, None
 
@@ -335,6 +343,14 @@ def _rescore_tiles_q(hidx_q, lidx_q, tsel, heavy_tiles, light_tiles, G,
         (hidx_q, lidx_q),
     )
     return scores
+
+
+def _tile_major(bank):
+    """[N, D] row bank -> [G, N8, LANE] tile-major copy (rows padded to a
+    multiple of 8 so the chunk's sublane dim tiles cleanly)."""
+    b8 = _pad_rows8(bank)
+    N8, D = b8.shape
+    return b8.reshape(N8, D // LANE, LANE).transpose(1, 0, 2)
 
 
 def _topk_in_tiles_q(scores, tsel, live_tiles, k):
@@ -369,10 +385,10 @@ def _topk_in_tiles_q(scores, tsel, live_tiles, k):
     return -neg[:k], dsort[:k]
 
 
-@partial(jax.jit, static_argnames=("k", "B"))
+@partial(jax.jit, static_argnames=("k", "B", "light_small"))
 def row_score_topk_pruned_or(
-    heavy_bank,  # f32 [H, D]
-    light_bank,  # f32 [L, D] (row 0 all-zero)
+    heavy_t,  # f32 [G, H8, LANE] tile-major bank
+    light_t,  # f32 [G, L8, LANE] tile-major light bank
     heavy_ub,  # f32 [H, G]
     light_ub,  # f32 [L, G]
     heavy_bits,  # u32 [H, G4]
@@ -384,18 +400,15 @@ def row_score_topk_pruned_or(
     *,
     k: int,
     B: int,
+    light_small: bool,
 ):
     """Pruned pure-OR scoring with sum-of-tile-maxima bounds (cheap: one
     [G] row per clause — right for selective queries / small batches).
     Output [Q, 2k+2]: scores, docids, exact hits, 'safe' flag (0 -> the
     executor must escalate that query)."""
-    H, D = heavy_bank.shape
-    G = D // LANE
+    G = heavy_t.shape[0]
     Bk = min(B, G)
-    heavy_tiles = heavy_bank.reshape(H * G, LANE)
-    light_tiles = light_bank.reshape(-1, LANE)
     live_tiles = live.reshape(G, LANE)
-    light_small = light_bank.shape[0] == 1
 
     def one_query(hidx_q, lidx_q):
         def ub_step(ub, inp):
@@ -423,7 +436,7 @@ def row_score_topk_pruned_or(
             u_next = None
 
         scores = _rescore_tiles_q(
-            hidx_q, lidx_q, tsel, heavy_tiles, light_tiles, G, light_small
+            hidx_q, lidx_q, tsel, heavy_t, light_t, light_small
         )
         top_scores, top_docs = _topk_in_tiles_q(scores, tsel, live_tiles, k)
 
@@ -453,12 +466,37 @@ def row_score_topk_pruned_or(
 _APPROX_RELEPS = np.float32(2.0 ** -7)
 
 
-@partial(jax.jit, static_argnames=("k", "B", "use_pallas", "interpret"))
+def _select_tiles(tile_upper, Bk: int, G: int):
+    """vmapped tile selection: (tsel int32 [Q, Bk] ascending, u_next [Q]).
+    u_next = -inf when every tile is selected (certificate trivially
+    safe)."""
+
+    def one(upper_q):
+        if Bk < G:
+            utop, tfull = jax.lax.top_k(upper_q, Bk + 1)
+            return jnp.sort(tfull[:Bk]), utop[Bk]
+        return (
+            jnp.arange(G, dtype=jnp.int32),
+            jnp.float32(-jnp.inf),
+        )
+
+    return jax.vmap(one)(tile_upper)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "B", "use_pallas", "interpret", "light_small",
+        "pallas_rescore",
+    ),
+)
 def row_score_topk_approx_or(
-    heavy_bank,  # f32 [H, D] exact rows (rescore)
+    heavy_t,  # f32 [G, H8, LANE] tile-major exact rows (rescore fallback)
     heavy_bank_bf16,  # bf16 [H8, D] approx copy (matmul)
-    light_bank,  # f32 [L, D] (row 0 all-zero)
+    light_t,  # f32 [G, L8, LANE] tile-major light bank
     light_bank_bf16,  # bf16 [L8, D]
+    compact_t,  # f32 [G, U8, LANE] batch-compact tile-major bank
+    cidx,  # int32 [Q, Tq] compact row per clause (0 = zero row)
     live,  # f32 [D]
     hidx,  # int32 [Q, Tq]
     lidx,  # int32 [Q, Tq]
@@ -469,6 +507,8 @@ def row_score_topk_approx_or(
     B: int,
     use_pallas: bool = False,
     interpret: bool = False,
+    light_small: bool,
+    pallas_rescore: bool = False,
 ):
     """MXU-selected pruned pure-OR scoring for query BATCHES.
 
@@ -485,13 +525,10 @@ def row_score_topk_approx_or(
 
     Scores come from the same exact f32 rescore as the tile-UB kernel.
     """
-    H, D = heavy_bank.shape
-    G = D // LANE
+    G = heavy_t.shape[0]
+    D = G * LANE
     Bk = min(B, G)
-    heavy_tiles = heavy_bank.reshape(H * G, LANE)
-    light_tiles = light_bank.reshape(-1, LANE)
     live_tiles = live.reshape(G, LANE)
-    light_small = light_bank.shape[0] == 1
     Q = hidx.shape[0]
 
     if use_pallas:
@@ -523,30 +560,38 @@ def row_score_topk_approx_or(
         tmax = approx.reshape(Q, G, LANE).max(axis=-1)
     tile_upper = tmax * (jnp.float32(1.0) + _APPROX_RELEPS)  # [Q, G]
 
-    def one_query(hidx_q, lidx_q, upper_q):
-        if Bk < G:
-            utop, tfull = jax.lax.top_k(upper_q, Bk + 1)
-            tsel = jnp.sort(tfull[:Bk])  # docid order for the rank stage
-            u_next = utop[Bk]
-        else:
-            tsel = jnp.arange(G, dtype=jnp.int32)
-            u_next = None
-        scores = _rescore_tiles_q(
-            hidx_q, lidx_q, tsel, heavy_tiles, light_tiles, G, light_small
+    tsel, u_next = _select_tiles(tile_upper, Bk, G)
+    if pallas_rescore:
+        from diagon_tpu.ops.pallas.gather_rescore import (
+            pallas_gather_rescore,
         )
-        top_scores, top_docs = _topk_in_tiles_q(scores, tsel, live_tiles, k)
-        if u_next is None:
-            safe = jnp.ones((1,), jnp.float32)
-        else:
-            theta = top_scores[k - 1]
-            # u_next <= 0 means the unselected tiles are empty (approx of
-            # nonnegative contributions): safe.
-            safe = ((theta > u_next) | (u_next <= 0)).astype(jnp.float32)[
-                None
-            ]
-        return jnp.concatenate([top_scores, top_docs.astype(jnp.float32), safe])
 
-    fused = jax.vmap(one_query)(hidx, lidx, tile_upper)  # [Q, 2k+1]
+        scores = pallas_gather_rescore(
+            compact_t, cidx, tsel, interpret=interpret
+        )  # [Q, Bk, LANE]
+    else:
+        scores = jax.vmap(
+            lambda h, l, t: _rescore_tiles_q(
+                h, l, t, heavy_t, light_t, light_small
+            )
+        )(hidx, lidx, tsel)
+
+    def finish(scores_q, tsel_q, u_next_q):
+        top_scores, top_docs = _topk_in_tiles_q(
+            scores_q, tsel_q, live_tiles, k
+        )
+        theta = top_scores[k - 1]
+        # u_next <= 0 means the unselected tiles are empty (approx of
+        # nonnegative contributions): safe. u_next = -inf when every
+        # tile was selected.
+        safe = ((theta > u_next_q) | (u_next_q <= 0)).astype(jnp.float32)[
+            None
+        ]
+        return jnp.concatenate(
+            [top_scores, top_docs.astype(jnp.float32), safe]
+        )
+
+    fused = jax.vmap(finish)(scores, tsel, u_next)  # [Q, 2k+1]
     return jnp.concatenate(
         [
             fused[:, : 2 * k],
@@ -617,14 +662,20 @@ def _build_bank_device(
     return bank[:H]
 
 
-@partial(jax.jit, static_argnames=("k", "B"))
+@partial(
+    jax.jit,
+    static_argnames=("k", "B", "light_small", "pallas_rescore", "interpret"),
+)
 def row_score_topk_approx_bool(
-    heavy_bank,  # f32 [H, D] exact rows (rescore)
+    heavy_t,  # f32 [G, H8, LANE] tile-major exact rows (rescore fallback)
     heavy_bank_bf16,  # bf16 [H8, D]
     heavy_presence_bf16,  # bf16 [H8, D] 0/1
-    light_bank,  # f32 [L, D] (row 0 all-zero)
+    light_t,  # f32 [G, L8, LANE] tile-major light bank
     light_bank_bf16,  # bf16 [L8, D]
     light_presence_bf16,  # bf16 [L8, D]
+    compact_t,  # f32 [G, U8, LANE] batch-compact tile-major bank
+    cidx,  # int32 [Q, Tq] compact row per clause (0 = zero row)
+    cflags,  # int32 [Q, Tq] bit0 scoring / 1 req / 2 sho / 3 neg
     live,  # f32 [D]
     hidx,  # int32 [Q, Tq]
     lidx,  # int32 [Q, Tq]
@@ -644,6 +695,9 @@ def row_score_topk_approx_bool(
     *,
     k: int,
     B: int,
+    light_small: bool,
+    pallas_rescore: bool = False,
+    interpret: bool = False,
 ):
     """Pruned GENERAL-boolean scoring for query batches (the
     MaxScoreBulkScorer role for MUST/FILTER/SHOULD/MUST_NOT trees).
@@ -655,13 +709,10 @@ def row_score_topk_approx_bool(
     relative certificate AND gated on per-tile feasibility (a tile with no
     matching doc cannot contribute); the rescore re-derives scores and
     counts from the exact f32 rows in oracle clause order."""
-    H, D = heavy_bank.shape
-    G = D // LANE
+    G = heavy_t.shape[0]
+    D = G * LANE
     Bk = min(B, G)
-    heavy_tiles = heavy_bank.reshape(H * G, LANE)
-    light_tiles = light_bank.reshape(-1, LANE)
     live_tiles = live.reshape(G, LANE)
-    light_small = light_bank.shape[0] == 1
     Q = hidx.shape[0]
 
     def mm(a_h, a_l, bank_h, bank_l):
@@ -701,50 +752,67 @@ def row_score_topk_approx_bool(
         jnp.float32(-1.0),
     )
 
-    def one_query(hidx_q, lidx_q, sc_q, req_q, sho_q, neg_q, params_q,
-                  upper_q):
-        if Bk < G:
-            utop, tfull = jax.lax.top_k(upper_q, Bk + 1)
-            tsel = jnp.sort(tfull[:Bk])
-            u_next = utop[Bk]
-        else:
-            tsel = jnp.arange(G, dtype=jnp.int32)
-            u_next = None
+    tsel, u_next = _select_tiles(tile_upper, Bk, G)
 
-        # exact rescore: scores + boolean counts over the selected tiles,
-        # identical add sequence to the exhaustive kernel
-        def step(carry, inp):
-            scores, rc, oc, nc = carry
-            hi, li, sc, r, s, n = inp
-            rowh = heavy_tiles[jnp.maximum(hi, 0) * G + tsel]
-            if light_small:
-                rows = jnp.where(hi >= 0, rowh, jnp.float32(0.0))
-            else:
-                rowl = light_tiles[jnp.maximum(li, 0) * G + tsel]
-                rows = jnp.where(hi >= 0, rowh, rowl)
-            present = jnp.where(rows > 0, jnp.float32(1.0), jnp.float32(0.0))
-            scores = scores + jnp.where(sc, rows, jnp.float32(0.0))
-            return (
-                scores,
-                rc + r * present,
-                oc + s * present,
-                nc + n * present,
-            ), None
-
-        z = jnp.zeros((Bk, LANE), jnp.float32)
-        (scores, rc, oc, nc), _ = jax.lax.scan(
-            step, (z, z, z, z), (hidx_q, lidx_q, sc_q, req_q, sho_q, neg_q)
+    # exact rescore: scores + boolean counts over the selected tiles,
+    # identical add sequence to the exhaustive kernel.
+    if pallas_rescore:
+        from diagon_tpu.ops.pallas.gather_rescore import (
+            pallas_gather_rescore,
         )
-        lv = live_tiles[tsel]
+
+        scores, rc, oc, nc = pallas_gather_rescore(
+            compact_t, cidx, tsel, cflags, interpret=interpret
+        )  # each [Q, Bk, LANE]
+    else:
+
+        def rescore_one(hidx_q, lidx_q, sc_q, req_q, sho_q, neg_q, tsel_q):
+            gath_h = heavy_t[tsel_q]  # [Bk, H8, LANE]
+            gath_l = None if light_small else light_t[tsel_q]
+
+            def step(carry, inp):
+                scores, rc, oc, nc = carry
+                hi, li, sc, r, s, n = inp
+                rowh = gath_h[:, jnp.maximum(hi, 0), :]
+                if light_small:
+                    rows = jnp.where(hi >= 0, rowh, jnp.float32(0.0))
+                else:
+                    rowl = gath_l[:, jnp.maximum(li, 0), :]
+                    rows = jnp.where(hi >= 0, rowh, rowl)
+                present = jnp.where(
+                    rows > 0, jnp.float32(1.0), jnp.float32(0.0)
+                )
+                scores = scores + jnp.where(sc, rows, jnp.float32(0.0))
+                return (
+                    scores,
+                    rc + r * present,
+                    oc + s * present,
+                    nc + n * present,
+                ), None
+
+            z = jnp.zeros((Bk, LANE), jnp.float32)
+            (scores, rc, oc, nc), _ = jax.lax.scan(
+                step,
+                (z, z, z, z),
+                (hidx_q, lidx_q, sc_q, req_q, sho_q, neg_q),
+            )
+            return scores, rc, oc, nc
+
+        scores, rc, oc, nc = jax.vmap(rescore_one)(
+            hidx, lidx, scoring, req, sho, neg, tsel
+        )
+
+    def finish(scores_q, rc_q, oc_q, nc_q, params_q, tsel_q, u_next_q):
+        lv = live_tiles[tsel_q]
         mask = (
-            (rc == params_q[0])
-            & (oc >= params_q[1])
-            & (nc == 0)
-            & ((rc + oc) > 0)
+            (rc_q == params_q[0])
+            & (oc_q >= params_q[1])
+            & (nc_q == 0)
+            & ((rc_q + oc_q) > 0)
             & (lv > 0)
         )
-        final = jnp.where(mask, scores, jnp.float32(-1.0))
-        dgrid = tsel[:, None] * LANE + jax.lax.broadcasted_iota(
+        final = jnp.where(mask, scores_q, jnp.float32(-1.0))
+        dgrid = tsel_q[:, None] * LANE + jax.lax.broadcasted_iota(
             jnp.int32, (1, LANE), 1
         )
         tmax = jnp.max(final, axis=1)
@@ -759,19 +827,16 @@ def row_score_topk_approx_bool(
         )
         top_scores = -negk[:k]
         top_docs = dsort[:k]
-        if u_next is None:
-            safe = jnp.ones((1,), jnp.float32)
-        else:
-            theta = top_scores[k - 1]
-            safe = ((theta > u_next) | (u_next <= 0)).astype(jnp.float32)[
-                None
-            ]
+        theta = top_scores[k - 1]
+        safe = ((theta > u_next_q) | (u_next_q <= 0)).astype(jnp.float32)[
+            None
+        ]
         return jnp.concatenate(
             [top_scores, top_docs.astype(jnp.float32), safe]
         )
 
-    fused = jax.vmap(one_query)(
-        hidx, lidx, scoring, req, sho, neg, bool_params, tile_upper
+    fused = jax.vmap(finish)(
+        scores, rc, oc, nc, bool_params, tsel, u_next
     )
     return jnp.concatenate(
         [
@@ -819,6 +884,7 @@ class RowFieldIndex:
         # collection stats) — filled by build_heavy_bank.
         self.heavy_row_of_term: Optional[np.ndarray] = None
         self.heavy_bank = None
+        self.heavy_bank_t = None  # [G, H8, LANE] tile-major rescore copy
         self.heavy_ub = None
         self.heavy_bits = None
         self.heavy_rowmax = None
@@ -915,6 +981,7 @@ class RowFieldIndex:
             self.heavy_presence_bf16 = (
                 self.heavy_bank_bf16 > 0
             ).astype(jnp.bfloat16)
+            self.heavy_bank_t = jax.jit(_tile_major)(self.heavy_bank)
 
 
 # ---------------------------------------------------------------------------
@@ -1187,9 +1254,14 @@ class RowExecutor:
         a_heavy, a_light = a_mats["score"]
         light_bf16 = None
         light_presence_bf16 = None
+        light_t = None
+        compact = None
         if self.index.prunable:
             light_bf16 = _pad_rows8(light_bank.astype(jnp.bfloat16))
             light_presence_bf16 = (light_bf16 > 0).astype(jnp.bfloat16)
+            light_t = jax.jit(_tile_major)(light_bank)
+            compact = self._build_compact(hidx_arr, lidx, sc_arr, rq_arr,
+                                          sh_arr, ng_arr, light_bank, total)
         return (
             jnp.asarray(hidx_arr),
             jnp.asarray(lidx),
@@ -1207,8 +1279,49 @@ class RowExecutor:
                  for r, (h, l) in a_mats.items()},
                 light_bf16,
                 light_presence_bf16,
+                light_t,
+                compact,
             ),
         )
+
+    # batch-compact banks beyond this many rows would overflow the rescore
+    # kernel's VMEM slab ring; such batches use the tile-major XLA rescore
+    COMPACT_MAX_ROWS = 256
+
+    def _build_compact(self, hidx_arr, lidx, sc_arr, rq_arr, sh_arr,
+                       ng_arr, light_bank, n_light):
+        """(compact_t [G, U8, LANE], cidx [Q, Tq], cflags [Q, Tq]) — the
+        batch's clause rows compacted into one small tile-major bank so
+        the pruned rescore fetches one contiguous [U8, LANE] slab per
+        selected tile (see ops/pallas/gather_rescore.py). Row 0 is the
+        shared zero row; padding clauses keep cidx 0."""
+        used = np.unique(hidx_arr[hidx_arr >= 0])
+        n_rows = 1 + len(used) + n_light
+        if n_rows > self.COMPACT_MAX_ROWS:
+            return None
+        hpos = np.full(
+            int(used.max()) + 1 if len(used) else 1, 0, dtype=np.int32
+        )
+        hpos[used] = 1 + np.arange(len(used), dtype=np.int32)
+        cidx = np.where(
+            hidx_arr >= 0,
+            hpos[np.maximum(hidx_arr, 0)],
+            np.where(lidx > 0, 1 + len(used) + (lidx - 1), 0),
+        ).astype(np.int32)
+        cflags = (
+            sc_arr.astype(np.int32)
+            + 2 * (rq_arr > 0).astype(np.int32)
+            + 4 * (sh_arr > 0).astype(np.int32)
+            + 8 * (ng_arr > 0).astype(np.int32)
+        )
+        D = self.index.num_docs_pad
+        parts = [jnp.zeros((1, D), jnp.float32)]
+        if len(used):
+            parts.append(self.index.heavy_bank[jnp.asarray(used)])
+        if n_light:
+            parts.append(light_bank[1 : 1 + n_light])
+        compact_t = jax.jit(_tile_major)(jnp.concatenate(parts))
+        return compact_t, jnp.asarray(cidx), jnp.asarray(cflags)
 
     def _entry(self, plans: Sequence[RowPlan]):
         ck = tuple(id(p) for p in plans)
@@ -1276,15 +1389,33 @@ class RowExecutor:
                 (1, idx.num_docs_pad // 32), jnp.uint32
             )
         pure_or = all(p.pure_or for p in plans)
-        a_role, light_bf16, light_presence_bf16 = amats
+        a_role, light_bf16, light_presence_bf16, light_t, compact = amats
+        light_small = light_bank.shape[0] == 1
+        import jax as _jax
+
+        interpret = _jax.default_backend() == "cpu"
+        pallas_rescore = self.use_pallas and compact is not None
+        if compact is None:
+            G = idx.num_docs_pad // LANE
+            dummy = (
+                jnp.zeros((G, 8, LANE), jnp.float32),
+                jnp.zeros_like(hidx),
+                jnp.zeros_like(hidx),
+            )
+            compact_t, cidx, cflags = dummy
+        else:
+            compact_t, cidx, cflags = compact
         if not pure_or:
             return row_score_topk_approx_bool(
-                idx.heavy_bank,
+                idx.heavy_bank_t,
                 idx.heavy_bank_bf16,
                 idx.heavy_presence_bf16,
-                light_bank,
+                light_t,
                 light_bf16,
                 light_presence_bf16,
+                compact_t,
+                cidx,
+                cflags,
                 idx.live,
                 hidx,
                 lidx,
@@ -1303,16 +1434,19 @@ class RowExecutor:
                 a_role["neg"][1],
                 k=k,
                 B=B,
+                light_small=light_small,
+                pallas_rescore=pallas_rescore,
+                interpret=interpret,
             )
         if len(plans) >= self.approx_min_q:
-            import jax as _jax
-
             a_heavy, a_light = a_role["score"]
             return row_score_topk_approx_or(
-                idx.heavy_bank,
+                idx.heavy_bank_t,
                 idx.heavy_bank_bf16,
-                light_bank,
+                light_t,
                 light_bf16,
+                compact_t,
+                cidx,
                 idx.live,
                 hidx,
                 lidx,
@@ -1322,11 +1456,13 @@ class RowExecutor:
                 B=B,
                 use_pallas=self.use_pallas
                 and idx.num_docs_pad % 1024 == 0,
-                interpret=_jax.default_backend() == "cpu",
+                interpret=interpret,
+                light_small=light_small,
+                pallas_rescore=pallas_rescore,
             )
         return row_score_topk_pruned_or(
-            idx.heavy_bank,
-            light_bank,
+            idx.heavy_bank_t,
+            light_t,
             idx.heavy_ub,
             light_ub,
             idx.heavy_bits,
@@ -1337,6 +1473,7 @@ class RowExecutor:
             lidx,
             k=k,
             B=B,
+            light_small=light_small,
         )
 
     def dispatch(self, plans: Sequence[RowPlan], k: int):
