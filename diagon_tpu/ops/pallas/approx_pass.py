@@ -1,16 +1,20 @@
-"""Pallas fused approx-scoring pass: matmul + tile-max + match-count.
+"""Pallas fused approx-scoring pass: matmul + tile-max + hit count.
 
-Phase 1 of the pruned batch kernel (row_engine.row_score_topk_approx_or)
-needs, for every (query, 128-doc tile): the maximum approximate score and
-the count of live matching docs. Done in XLA this materializes the [Q, D]
-approx matrix in HBM three times (matmul out, max reduce, count reduce) —
-~1.5 GB per 128-query batch at 1M docs. This kernel keeps each [Q, CHUNK]
-product block in VMEM and writes only the [G, Q] reductions, so HBM
-traffic collapses to one read of the bf16 bank.
+Phase 1 of the pruned batch kernels (row_engine) needs, for every
+(query, 128-doc tile): the maximum approximate score, and per query the
+exact live-match count. Done in XLA this materializes [Q, D] matmul
+outputs in HBM (at Q=1024, D=1M that is 4 GB per role matrix); these
+kernels keep each [Q, CHUNK] product block in VMEM and write only the
+[G, Q] tile maxima plus a [Q] running hit count, so HBM traffic
+collapses to one read of the (batch-compact) bf16 bank.
+
+The banks here are BATCH-COMPACT ([U8, D], U = unique clause rows used
+by the batch): phase 1's matmul K-dim scales with the batch's
+vocabulary, not the corpus's heavy-term count.
 
 Layout notes: TPU blocks want trailing dims (8k, 128m); the indicator
-matrix arrives TRANSPOSED ([H8, Q], H8 = H padded to a multiple of 8) and
-outputs are [G, Q] so Q=batch rides the 128-lane axis.
+matrices arrive TRANSPOSED ([U8, Q]) and tile maxima are produced [S, Q]
+so Q=batch rides the 128-lane axis.
 """
 
 from __future__ import annotations
@@ -20,101 +24,173 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-def _chunk_for(D: int) -> int:
-    for c in (4096, 2048, 1024):
-        if D % c == 0:
+
+def _chunk_for(D: int, cap: int) -> int:
+    for c in (cap, cap // 2, cap // 4, 1024):
+        if D % c == 0 and c <= cap:
             return c
     raise ValueError(f"D={D} must be a multiple of 1024")
 
 
-def _kernel(at_ref, bank_ref, live_ref, tmax_ref, cnt_ref):
-    # at_ref [H8, Q] bf16, bank_ref [H8, CHUNK] bf16 -> ap [Q, CHUNK] f32
-    ap = jax.lax.dot_general(
-        at_ref[...],
-        bank_ref[...],
+def _dot_t(a_t, b):
+    """[U8, Q]^T . [U8, CH] -> [Q, CH] f32 (contract over rows)."""
+    return jax.lax.dot_general(
+        a_t,
+        b,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+
+def _kernel_or(at_ref, bank_ref, live_ref, tmax_ref, hits_ref):
+    c = pl.program_id(0)
+    ap = _dot_t(at_ref[...], bank_ref[...])  # [Q, CH]
     q = ap.shape[0]
     g = ap.reshape(q, -1, 128)
     lv = live_ref[...].reshape(1, -1, 128)
     match = (g > 0) & (lv > 0)
-    tmax_ref[...] = jnp.max(g, axis=2).T  # [nG, Q]
-    cnt_ref[...] = jnp.sum(match, axis=2, dtype=jnp.int32).T
+    tmax_ref[...] = jnp.max(g, axis=2).T  # [ng, Q]
+    cnt_t = jnp.sum(match, axis=2, dtype=jnp.int32).T  # [ng, Q]
+    cnt = jnp.sum(cnt_t, axis=0, keepdims=True)  # [1, Q] (2-D for mosaic)
+
+    @pl.when(c == 0)
+    def _():
+        hits_ref[...] = jnp.zeros_like(hits_ref)
+
+    hits_ref[0:1, :] = hits_ref[0:1, :] + cnt
 
 
-def _kernel_two_banks(
-    at_ref, bank_ref, alt_ref, lbank_ref, live_ref, tmax_ref, cnt_ref
+def _kernel_bool(
+    asc_ref, arq_ref, ash_ref, ang_ref, bank_ref, pres_ref, params_ref,
+    live_ref, tmax_ref, hits_ref,
 ):
-    ap = jax.lax.dot_general(
-        at_ref[...],
-        bank_ref[...],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ap = ap + jax.lax.dot_general(
-        alt_ref[...],
-        lbank_ref[...],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    """General-boolean phase 1: approx score + EXACT per-doc clause
+    presence counts (0/1 products accumulate exactly in f32), reduced to
+    feasibility-gated tile maxima and exact hit counts. params rows:
+    0 = num_required, 1 = min_should."""
+    c = pl.program_id(0)
+    ap = _dot_t(asc_ref[...], bank_ref[...])  # [Q, CH]
+    rc = _dot_t(arq_ref[...], pres_ref[...])
+    oc = _dot_t(ash_ref[...], pres_ref[...])
+    nc = _dot_t(ang_ref[...], pres_ref[...])
+    nreq = params_ref[0:1, :].T[:, :, None]  # [Q, 1, 1]
+    msm = params_ref[1:2, :].T[:, :, None]
     q = ap.shape[0]
     g = ap.reshape(q, -1, 128)
+    rc3 = rc.reshape(q, -1, 128)
+    oc3 = oc.reshape(q, -1, 128)
+    nc3 = nc.reshape(q, -1, 128)
     lv = live_ref[...].reshape(1, -1, 128)
-    match = (g > 0) & (lv > 0)
-    tmax_ref[...] = jnp.max(g, axis=2).T
-    cnt_ref[...] = jnp.sum(match, axis=2, dtype=jnp.int32).T
+    # compare AFTER the f32 reshapes (mosaic cannot reshape i1 vectors)
+    m = (
+        (rc3 == nreq)
+        & (oc3 >= msm)
+        & (nc3 == 0)
+        & ((rc3 + oc3) > 0)
+        & (lv > 0)
+    )
+    feasible = jnp.any(m, axis=2)  # [Q, ng]
+    tmax = jnp.where(
+        feasible, jnp.max(g, axis=2), jnp.float32(-1.0)
+    )
+    tmax_ref[...] = tmax.T
+    cnt_t = jnp.sum(m, axis=2, dtype=jnp.int32).T  # [ng, Q]
+    cnt = jnp.sum(cnt_t, axis=0, keepdims=True)  # [1, Q]
+
+    @pl.when(c == 0)
+    def _():
+        hits_ref[...] = jnp.zeros_like(hits_ref)
+
+    hits_ref[0:1, :] = hits_ref[0:1, :] + cnt
 
 
-def pallas_approx_pass(
-    a_t: jnp.ndarray,  # bf16 [H8, Q] transposed clause-indicator matrix
-    bank: jnp.ndarray,  # bf16 [H8, D]
+def pallas_approx_select(
+    a_t: jnp.ndarray,  # bf16 [U8, Q] transposed clause-indicator matrix
+    bank: jnp.ndarray,  # bf16 [U8, D] batch-compact bank
     live: jnp.ndarray,  # f32 [D]
-    a_light_t: jnp.ndarray = None,  # bf16 [L8, Q] or None
-    light_bank: jnp.ndarray = None,  # bf16 [L8, D] or None
     *,
     interpret: bool = False,
 ):
-    """(tile_max f32 [Q, G], match_count i32 [Q, G]) with G = D/128."""
-    H8, Q = a_t.shape
+    """(tile_max f32 [Q, S], hits i32 [Q]) with S = D/128 — pure-OR."""
+    U8, Q = a_t.shape
     _, D = bank.shape
-    chunk = _chunk_for(D)
+    chunk = _chunk_for(D, 4096)
     S = D // 128
-    n = D // chunk
     ng = chunk // 128
+    n = D // chunk
     live2 = live.reshape(S, 128)
 
-    two = a_light_t is not None
-    in_specs = [
-        pl.BlockSpec((H8, Q), lambda c: (0, 0)),
-        pl.BlockSpec((H8, chunk), lambda c: (0, c)),
-    ]
-    args = [a_t, bank]
-    if two:
-        L8 = a_light_t.shape[0]
-        in_specs += [
-            pl.BlockSpec((L8, Q), lambda c: (0, 0)),
-            pl.BlockSpec((L8, chunk), lambda c: (0, c)),
-        ]
-        args += [a_light_t, light_bank]
-    in_specs.append(pl.BlockSpec((ng, 128), lambda c: (c, 0)))
-    args.append(live2)
-
-    tmax_t, cnt_t = pl.pallas_call(
-        _kernel_two_banks if two else _kernel,
+    tmax_t, hits = pl.pallas_call(
+        _kernel_or,
         grid=(n,),
-        in_specs=in_specs,
+        in_specs=[
+            pl.BlockSpec((U8, Q), lambda c: (0, 0)),
+            pl.BlockSpec((U8, chunk), lambda c: (0, c)),
+            pl.BlockSpec((ng, 128), lambda c: (c, 0)),
+        ],
         out_specs=(
             pl.BlockSpec((ng, Q), lambda c: (c, 0)),
-            pl.BlockSpec((ng, Q), lambda c: (c, 0)),
+            pl.BlockSpec((8, Q), lambda c: (0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((S, Q), jnp.float32),
-            jax.ShapeDtypeStruct((S, Q), jnp.int32),
+            jax.ShapeDtypeStruct((8, Q), jnp.int32),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(*args)
-    return tmax_t.T, cnt_t.T
+    )(a_t, bank, live2)
+    return tmax_t.T, hits[0]
+
+
+def pallas_approx_select_bool(
+    a_sc_t: jnp.ndarray,  # bf16 [U8, Q]
+    a_rq_t: jnp.ndarray,
+    a_sh_t: jnp.ndarray,
+    a_ng_t: jnp.ndarray,
+    bank: jnp.ndarray,  # bf16 [U8, D] compact score bank
+    presence: jnp.ndarray,  # bf16 [U8, D] compact 0/1 presence bank
+    params_t: jnp.ndarray,  # f32 [8, Q] rows 0=num_required, 1=min_should
+    live: jnp.ndarray,  # f32 [D]
+    *,
+    interpret: bool = False,
+):
+    """(feasibility-gated tile_max f32 [Q, S], exact hits i32 [Q])."""
+    U8, Q = a_sc_t.shape
+    _, D = bank.shape
+    chunk = _chunk_for(D, 1024)  # 4 [Q, CH] f32 intermediates live in VMEM
+    S = D // 128
+    ng = chunk // 128
+    n = D // chunk
+    live2 = live.reshape(S, 128)
+
+    amap = lambda c: (0, 0)
+    bmap = lambda c: (0, c)
+    tmax_t, hits = pl.pallas_call(
+        _kernel_bool,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((U8, Q), amap),
+            pl.BlockSpec((U8, Q), amap),
+            pl.BlockSpec((U8, Q), amap),
+            pl.BlockSpec((U8, Q), amap),
+            pl.BlockSpec((U8, chunk), bmap),
+            pl.BlockSpec((U8, chunk), bmap),
+            pl.BlockSpec((8, Q), amap),
+            pl.BlockSpec((ng, 128), lambda c: (c, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((ng, Q), lambda c: (c, 0)),
+            pl.BlockSpec((8, Q), lambda c: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, Q), jnp.float32),
+            jax.ShapeDtypeStruct((8, Q), jnp.int32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(a_sc_t, a_rq_t, a_sh_t, a_ng_t, bank, presence, params_t, live2)
+    return tmax_t.T, hits[0]

@@ -313,27 +313,23 @@ def _bitmap_hits_q(hidx_q, lidx_q, heavy_bits, light_bits, live_bits,
     )
 
 
-def _rescore_tiles_q(hidx_q, lidx_q, tsel, heavy_t, light_t, light_small):
+def _rescore_tiles_q(hidx_q, lidx_q, tsel, heavy_tiles, light_tiles, G,
+                     light_small):
     """Exact scores for the selected tiles, accumulated in oracle clause
     order — per-doc f32 adds are the identical sequence the exhaustive
-    kernel performs, so scores are bit-exact.
-
-    Reads the TILE-MAJOR bank copies ([G, N8, LANE]): one contiguous
-    [N8, LANE] chunk DMA per selected tile instead of one scattered
-    512-byte row per (clause, tile). The scattered form measured
-    ~10-25M rows/s (latency-bound) and was the 1M-doc throughput wall;
-    chunk gathers stream at HBM bandwidth. Per-clause row selection then
-    slices the already-gathered [B, N8, LANE] block."""
-    gath_h = heavy_t[tsel]  # [B, H8, LANE] contiguous chunk gather
-    gath_l = None if light_small else light_t[tsel]
+    kernel performs, so scores are bit-exact. Scattered per-(clause,
+    tile) 512-byte row gathers: fine for the SMALL-batch tile-UB path
+    this serves; query batches go through the pallas gather-rescore
+    kernel over the batch-compact bank instead (the scattered form
+    measures ~10-25M rows/s and was the 1M-doc batch wall)."""
 
     def step(scores, inp):
         hi, li = inp
-        rowh = gath_h[:, jnp.maximum(hi, 0), :]  # [B, LANE] batched slice
+        rowh = heavy_tiles[jnp.maximum(hi, 0) * G + tsel]
         if light_small:
             rows = jnp.where(hi >= 0, rowh, jnp.float32(0.0))
         else:
-            rowl = gath_l[:, jnp.maximum(li, 0), :]
+            rowl = light_tiles[jnp.maximum(li, 0) * G + tsel]
             rows = jnp.where(hi >= 0, rowh, rowl)
         return scores + rows, None
 
@@ -347,7 +343,8 @@ def _rescore_tiles_q(hidx_q, lidx_q, tsel, heavy_t, light_t, light_small):
 
 def _tile_major(bank):
     """[N, D] row bank -> [G, N8, LANE] tile-major copy (rows padded to a
-    multiple of 8 so the chunk's sublane dim tiles cleanly)."""
+    multiple of 8 so the chunk's sublane dim tiles cleanly). One selected
+    tile = one contiguous [N8, LANE] slab for the gather-rescore DMA."""
     b8 = _pad_rows8(bank)
     N8, D = b8.shape
     return b8.reshape(N8, D // LANE, LANE).transpose(1, 0, 2)
@@ -364,11 +361,17 @@ def _topk_in_tiles_q(scores, tsel, live_tiles, k):
     lanes. Exactness: if a true top-k doc's tile were excluded, each
     selected tile contains a doc that outranks it (higher max, or equal
     max in a lower-docid tile) — k docs outrank it, contradiction."""
-    B = tsel.shape[0]
-    kt = min(k, B)
     lv = live_tiles[tsel]
     mask = (scores > 0) & (lv > 0)
     final = jnp.where(mask, scores, jnp.float32(-1.0))  # [B, LANE]
+    return _topk_in_tiles_final_q(final, tsel, k)
+
+
+def _topk_in_tiles_final_q(final, tsel, k):
+    """Rank stage over already-masked per-tile score lanes (-1 = no
+    match). Same exactness argument as _topk_in_tiles_q."""
+    B = tsel.shape[0]
+    kt = min(k, B)
     dgrid = tsel[:, None] * LANE + jax.lax.broadcasted_iota(
         jnp.int32, (1, LANE), 1
     )  # [B, LANE]
@@ -385,10 +388,10 @@ def _topk_in_tiles_q(scores, tsel, live_tiles, k):
     return -neg[:k], dsort[:k]
 
 
-@partial(jax.jit, static_argnames=("k", "B", "light_small"))
+@partial(jax.jit, static_argnames=("k", "B"))
 def row_score_topk_pruned_or(
-    heavy_t,  # f32 [G, H8, LANE] tile-major bank
-    light_t,  # f32 [G, L8, LANE] tile-major light bank
+    heavy_bank,  # f32 [H, D]
+    light_bank,  # f32 [L, D] (row 0 all-zero)
     heavy_ub,  # f32 [H, G]
     light_ub,  # f32 [L, G]
     heavy_bits,  # u32 [H, G4]
@@ -400,15 +403,18 @@ def row_score_topk_pruned_or(
     *,
     k: int,
     B: int,
-    light_small: bool,
 ):
     """Pruned pure-OR scoring with sum-of-tile-maxima bounds (cheap: one
     [G] row per clause — right for selective queries / small batches).
     Output [Q, 2k+2]: scores, docids, exact hits, 'safe' flag (0 -> the
     executor must escalate that query)."""
-    G = heavy_t.shape[0]
+    H, D = heavy_bank.shape
+    G = D // LANE
     Bk = min(B, G)
+    heavy_tiles = heavy_bank.reshape(H * G, LANE)
+    light_tiles = light_bank.reshape(-1, LANE)
     live_tiles = live.reshape(G, LANE)
+    light_small = light_bank.shape[0] == 1
 
     def one_query(hidx_q, lidx_q):
         def ub_step(ub, inp):
@@ -436,7 +442,7 @@ def row_score_topk_pruned_or(
             u_next = None
 
         scores = _rescore_tiles_q(
-            hidx_q, lidx_q, tsel, heavy_t, light_t, light_small
+            hidx_q, lidx_q, tsel, heavy_tiles, light_tiles, G, light_small
         )
         top_scores, top_docs = _topk_in_tiles_q(scores, tsel, live_tiles, k)
 
@@ -483,115 +489,126 @@ def _select_tiles(tile_upper, Bk: int, G: int):
     return jax.vmap(one)(tile_upper)
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "k", "B", "use_pallas", "interpret", "light_small",
-        "pallas_rescore",
-    ),
-)
-def row_score_topk_approx_or(
-    heavy_t,  # f32 [G, H8, LANE] tile-major exact rows (rescore fallback)
-    heavy_bank_bf16,  # bf16 [H8, D] approx copy (matmul)
-    light_t,  # f32 [G, L8, LANE] tile-major light bank
-    light_bank_bf16,  # bf16 [L8, D]
-    compact_t,  # f32 [G, U8, LANE] batch-compact tile-major bank
+@partial(jax.jit, static_argnames=("k", "B", "boolean", "interpret"))
+def row_score_topk_pruned_batch(
+    compact_t,  # f32 [G, U8, LANE] batch-compact tile-major bank (exact)
+    compact_bf16,  # bf16 [U8, D] approx copy (phase-1 matmul)
+    presence_bf16,  # bf16 [U8, D] 0/1 (boolean variant; zeros row-0 ok)
     cidx,  # int32 [Q, Tq] compact row per clause (0 = zero row)
+    cflags,  # int32 [Q, Tq] bit0 scoring / 1 req / 2 sho / 3 neg
     live,  # f32 [D]
-    hidx,  # int32 [Q, Tq]
-    lidx,  # int32 [Q, Tq]
-    a_heavy,  # f32 [Q, H8] clause-indicator matrix
-    a_light,  # f32 [Q, L8]
+    a_sc_t,  # bf16 [U8, Q] scoring-clause indicator (transposed)
+    a_rq_t,  # bf16 [U8, Q]
+    a_sh_t,  # bf16 [U8, Q]
+    a_ng_t,  # bf16 [U8, Q]
+    params_t,  # f32 [8, Q] rows 0=num_required, 1=min_should
+    bool_params,  # f32 [Q, 2]
     *,
     k: int,
     B: int,
-    use_pallas: bool = False,
+    boolean: bool,
     interpret: bool = False,
-    light_small: bool,
-    pallas_rescore: bool = False,
 ):
-    """MXU-selected pruned pure-OR scoring for query BATCHES.
+    """MXU-selected pruned scoring for query BATCHES (the WANDScorer /
+    MaxScoreBulkScorer role, WANDScorer.h:17-285, MaxScoreBulkScorer.h).
 
-    Phase 1 computes an approximate score for EVERY doc with one bf16
-    matmul of the query-indicator matrix against the row banks — the bank
-    is read once per batch instead of once per (query, clause), the
-    decisive HBM-traffic win at scale. Contributions are nonnegative, so:
+    Everything runs against the BATCH-COMPACT bank (the union of clause
+    rows this batch uses), so both phases scale with the batch's
+    vocabulary, not the corpus's heavy-term count:
 
-    - approx > 0 iff some clause matches, making the live-masked positive
-      count the EXACT hit count (no separate bitmap pass);
+    - Phase 1 (ops/pallas/approx_pass.py): one bf16 matmul of the
+      query-indicator matrix against the compact bank computes an
+      approximate score for EVERY doc — the bank is read once per batch
+      instead of once per (query, clause). Contributions are
+      nonnegative, so approx > 0 iff some clause matches, making the
+      live-masked positive count the EXACT hit count. For general
+      booleans, 0/1 presence-indicator matmuls give EXACT clause counts
+      (sums of <= Tq ones are exact in f32) and the match mask / hit
+      counts equal the oracle's; candidate tiles are additionally gated
+      on per-tile feasibility.
     - true_score <= approx * (1 + 2^-7) (relative bf16+accum bound), so
       tile selection by that upper bound is provably exact; ties within
       the margin fail the certificate and escalate.
-
-    Scores come from the same exact f32 rescore as the tile-UB kernel.
+    - Phase 2 (ops/pallas/gather_rescore.py): the selected tiles rescore
+      from the exact f32 compact bank in oracle clause order —
+      bit-exact scores and counts.
     """
-    G = heavy_t.shape[0]
+    G, U8, _ = compact_t.shape
     D = G * LANE
     Bk = min(B, G)
     live_tiles = live.reshape(G, LANE)
-    Q = hidx.shape[0]
 
-    if use_pallas:
-        from diagon_tpu.ops.pallas.approx_pass import pallas_approx_pass
+    from diagon_tpu.ops.pallas.approx_pass import (
+        pallas_approx_select,
+        pallas_approx_select_bool,
+    )
+    from diagon_tpu.ops.pallas.gather_rescore import pallas_gather_rescore
 
-        tmax, cnt = pallas_approx_pass(
-            a_heavy.T.astype(jnp.bfloat16),
-            heavy_bank_bf16,
-            live,
-            a_light.T.astype(jnp.bfloat16) if not light_small else None,
-            light_bank_bf16 if not light_small else None,
-            interpret=interpret,
+    if boolean:
+        tmax, hits = pallas_approx_select_bool(
+            a_sc_t, a_rq_t, a_sh_t, a_ng_t, compact_bf16, presence_bf16,
+            params_t, live, interpret=interpret,
         )
-        hits = jnp.sum(cnt, axis=1, dtype=jnp.int32)  # [Q] EXACT
     else:
-        approx = jnp.dot(
-            a_heavy.astype(jnp.bfloat16),
-            heavy_bank_bf16,
-            preferred_element_type=jnp.float32,
-        )  # [Q, D]
-        if not light_small:
-            approx = approx + jnp.dot(
-                a_light.astype(jnp.bfloat16),
-                light_bank_bf16,
-                preferred_element_type=jnp.float32,
-            )
-        match = (approx > 0) & (live[None, :] > 0)
-        hits = jnp.sum(match, axis=1, dtype=jnp.int32)  # [Q] EXACT
-        tmax = approx.reshape(Q, G, LANE).max(axis=-1)
+        tmax, hits = pallas_approx_select(
+            a_sc_t, compact_bf16, live, interpret=interpret
+        )
     tile_upper = tmax * (jnp.float32(1.0) + _APPROX_RELEPS)  # [Q, G]
 
     tsel, u_next = _select_tiles(tile_upper, Bk, G)
-    if pallas_rescore:
-        from diagon_tpu.ops.pallas.gather_rescore import (
-            pallas_gather_rescore,
+    if boolean:
+        scores, rc, oc, nc = pallas_gather_rescore(
+            compact_t, cidx, tsel, cflags, interpret=interpret
         )
-
+    else:
         scores = pallas_gather_rescore(
             compact_t, cidx, tsel, interpret=interpret
         )  # [Q, Bk, LANE]
-    else:
-        scores = jax.vmap(
-            lambda h, l, t: _rescore_tiles_q(
-                h, l, t, heavy_t, light_t, light_small
+
+    if boolean:
+
+        def finish(scores_q, rc_q, oc_q, nc_q, params_q, tsel_q, u_next_q):
+            lv = live_tiles[tsel_q]
+            mask = (
+                (rc_q == params_q[0])
+                & (oc_q >= params_q[1])
+                & (nc_q == 0)
+                & ((rc_q + oc_q) > 0)
+                & (lv > 0)
             )
-        )(hidx, lidx, tsel)
+            final = jnp.where(mask, scores_q, jnp.float32(-1.0))
+            top_scores, top_docs = _topk_in_tiles_final_q(
+                final, tsel_q, k
+            )
+            theta = top_scores[k - 1]
+            safe = (
+                (theta > u_next_q) | (u_next_q <= 0)
+            ).astype(jnp.float32)[None]
+            return jnp.concatenate(
+                [top_scores, top_docs.astype(jnp.float32), safe]
+            )
 
-    def finish(scores_q, tsel_q, u_next_q):
-        top_scores, top_docs = _topk_in_tiles_q(
-            scores_q, tsel_q, live_tiles, k
+        fused = jax.vmap(finish)(
+            scores, rc, oc, nc, bool_params, tsel, u_next
         )
-        theta = top_scores[k - 1]
-        # u_next <= 0 means the unselected tiles are empty (approx of
-        # nonnegative contributions): safe. u_next = -inf when every
-        # tile was selected.
-        safe = ((theta > u_next_q) | (u_next_q <= 0)).astype(jnp.float32)[
-            None
-        ]
-        return jnp.concatenate(
-            [top_scores, top_docs.astype(jnp.float32), safe]
-        )
+    else:
 
-    fused = jax.vmap(finish)(scores, tsel, u_next)  # [Q, 2k+1]
+        def finish(scores_q, tsel_q, u_next_q):
+            top_scores, top_docs = _topk_in_tiles_q(
+                scores_q, tsel_q, live_tiles, k
+            )
+            theta = top_scores[k - 1]
+            # u_next <= 0 means the unselected tiles are empty (approx
+            # of nonnegative contributions): safe. u_next = -inf when
+            # every tile was selected.
+            safe = (
+                (theta > u_next_q) | (u_next_q <= 0)
+            ).astype(jnp.float32)[None]
+            return jnp.concatenate(
+                [top_scores, top_docs.astype(jnp.float32), safe]
+            )
+
+        fused = jax.vmap(finish)(scores, tsel, u_next)  # [Q, 2k+1]
     return jnp.concatenate(
         [
             fused[:, : 2 * k],
@@ -662,192 +679,6 @@ def _build_bank_device(
     return bank[:H]
 
 
-@partial(
-    jax.jit,
-    static_argnames=("k", "B", "light_small", "pallas_rescore", "interpret"),
-)
-def row_score_topk_approx_bool(
-    heavy_t,  # f32 [G, H8, LANE] tile-major exact rows (rescore fallback)
-    heavy_bank_bf16,  # bf16 [H8, D]
-    heavy_presence_bf16,  # bf16 [H8, D] 0/1
-    light_t,  # f32 [G, L8, LANE] tile-major light bank
-    light_bank_bf16,  # bf16 [L8, D]
-    light_presence_bf16,  # bf16 [L8, D]
-    compact_t,  # f32 [G, U8, LANE] batch-compact tile-major bank
-    cidx,  # int32 [Q, Tq] compact row per clause (0 = zero row)
-    cflags,  # int32 [Q, Tq] bit0 scoring / 1 req / 2 sho / 3 neg
-    live,  # f32 [D]
-    hidx,  # int32 [Q, Tq]
-    lidx,  # int32 [Q, Tq]
-    scoring,  # bool [Q, Tq]
-    req,  # f32 [Q, Tq]
-    sho,  # f32 [Q, Tq]
-    neg,  # f32 [Q, Tq]
-    bool_params,  # f32 [Q, 2] (num_required, min_should)
-    a_score_h,  # f32 [Q, H8] indicators of scoring clauses
-    a_score_l,  # f32 [Q, L8]
-    a_req_h,  # f32 [Q, H8]
-    a_req_l,
-    a_sho_h,
-    a_sho_l,
-    a_neg_h,
-    a_neg_l,
-    *,
-    k: int,
-    B: int,
-    light_small: bool,
-    pallas_rescore: bool = False,
-    interpret: bool = False,
-):
-    """Pruned GENERAL-boolean scoring for query batches (the
-    MaxScoreBulkScorer role for MUST/FILTER/SHOULD/MUST_NOT trees).
-
-    Clause-presence counts are EXACT via indicator matmuls over a 0/1
-    presence bank (products are 0/1 and the f32 accumulation of <= Tq ones
-    is exact), so the match mask and hit counts equal the oracle's.
-    Candidate tiles come from the bf16 approx score bounded by the
-    relative certificate AND gated on per-tile feasibility (a tile with no
-    matching doc cannot contribute); the rescore re-derives scores and
-    counts from the exact f32 rows in oracle clause order."""
-    G = heavy_t.shape[0]
-    D = G * LANE
-    Bk = min(B, G)
-    live_tiles = live.reshape(G, LANE)
-    Q = hidx.shape[0]
-
-    def mm(a_h, a_l, bank_h, bank_l):
-        out = jnp.dot(
-            a_h.astype(jnp.bfloat16),
-            bank_h,
-            preferred_element_type=jnp.float32,
-        )
-        if not light_small:
-            out = out + jnp.dot(
-                a_l.astype(jnp.bfloat16),
-                bank_l,
-                preferred_element_type=jnp.float32,
-            )
-        return out  # [Q, D]
-
-    approx = mm(a_score_h, a_score_l, heavy_bank_bf16, light_bank_bf16)
-    req_c = mm(a_req_h, a_req_l, heavy_presence_bf16, light_presence_bf16)
-    sho_c = mm(a_sho_h, a_sho_l, heavy_presence_bf16, light_presence_bf16)
-    neg_c = mm(a_neg_h, a_neg_l, heavy_presence_bf16, light_presence_bf16)
-
-    nreq = bool_params[:, 0][:, None]
-    msm = bool_params[:, 1][:, None]
-    match = (
-        (req_c == nreq)
-        & (sho_c >= msm)
-        & (neg_c == 0)
-        & ((req_c + sho_c) > 0)
-        & (live[None, :] > 0)
-    )  # [Q, D] EXACT
-    hits = jnp.sum(match, axis=1, dtype=jnp.int32)
-    feasible = jnp.any(match.reshape(Q, G, LANE), axis=-1)  # [Q, G]
-    tile_upper = jnp.where(
-        feasible,
-        approx.reshape(Q, G, LANE).max(axis=-1)
-        * (jnp.float32(1.0) + _APPROX_RELEPS),
-        jnp.float32(-1.0),
-    )
-
-    tsel, u_next = _select_tiles(tile_upper, Bk, G)
-
-    # exact rescore: scores + boolean counts over the selected tiles,
-    # identical add sequence to the exhaustive kernel.
-    if pallas_rescore:
-        from diagon_tpu.ops.pallas.gather_rescore import (
-            pallas_gather_rescore,
-        )
-
-        scores, rc, oc, nc = pallas_gather_rescore(
-            compact_t, cidx, tsel, cflags, interpret=interpret
-        )  # each [Q, Bk, LANE]
-    else:
-
-        def rescore_one(hidx_q, lidx_q, sc_q, req_q, sho_q, neg_q, tsel_q):
-            gath_h = heavy_t[tsel_q]  # [Bk, H8, LANE]
-            gath_l = None if light_small else light_t[tsel_q]
-
-            def step(carry, inp):
-                scores, rc, oc, nc = carry
-                hi, li, sc, r, s, n = inp
-                rowh = gath_h[:, jnp.maximum(hi, 0), :]
-                if light_small:
-                    rows = jnp.where(hi >= 0, rowh, jnp.float32(0.0))
-                else:
-                    rowl = gath_l[:, jnp.maximum(li, 0), :]
-                    rows = jnp.where(hi >= 0, rowh, rowl)
-                present = jnp.where(
-                    rows > 0, jnp.float32(1.0), jnp.float32(0.0)
-                )
-                scores = scores + jnp.where(sc, rows, jnp.float32(0.0))
-                return (
-                    scores,
-                    rc + r * present,
-                    oc + s * present,
-                    nc + n * present,
-                ), None
-
-            z = jnp.zeros((Bk, LANE), jnp.float32)
-            (scores, rc, oc, nc), _ = jax.lax.scan(
-                step,
-                (z, z, z, z),
-                (hidx_q, lidx_q, sc_q, req_q, sho_q, neg_q),
-            )
-            return scores, rc, oc, nc
-
-        scores, rc, oc, nc = jax.vmap(rescore_one)(
-            hidx, lidx, scoring, req, sho, neg, tsel
-        )
-
-    def finish(scores_q, rc_q, oc_q, nc_q, params_q, tsel_q, u_next_q):
-        lv = live_tiles[tsel_q]
-        mask = (
-            (rc_q == params_q[0])
-            & (oc_q >= params_q[1])
-            & (nc_q == 0)
-            & ((rc_q + oc_q) > 0)
-            & (lv > 0)
-        )
-        final = jnp.where(mask, scores_q, jnp.float32(-1.0))
-        dgrid = tsel_q[:, None] * LANE + jax.lax.broadcasted_iota(
-            jnp.int32, (1, LANE), 1
-        )
-        tmax = jnp.max(final, axis=1)
-        _, top_tiles = jax.lax.top_k(tmax, min(k, Bk))
-        cand = final[top_tiles].reshape(-1)
-        cand_docs = dgrid[top_tiles].reshape(-1)
-        negk, dsort = jax.lax.sort(
-            (jnp.negative(cand), cand_docs),
-            dimension=0,
-            is_stable=True,
-            num_keys=2,
-        )
-        top_scores = -negk[:k]
-        top_docs = dsort[:k]
-        theta = top_scores[k - 1]
-        safe = ((theta > u_next_q) | (u_next_q <= 0)).astype(jnp.float32)[
-            None
-        ]
-        return jnp.concatenate(
-            [top_scores, top_docs.astype(jnp.float32), safe]
-        )
-
-    fused = jax.vmap(finish)(
-        scores, rc, oc, nc, bool_params, tsel, u_next
-    )
-    return jnp.concatenate(
-        [
-            fused[:, : 2 * k],
-            hits[:, None].astype(jnp.float32),
-            fused[:, 2 * k :],
-        ],
-        axis=1,
-    )
-
-
 class RowFieldIndex:
     """Host+device state to produce per-term dense score rows."""
 
@@ -884,12 +715,8 @@ class RowFieldIndex:
         # collection stats) — filled by build_heavy_bank.
         self.heavy_row_of_term: Optional[np.ndarray] = None
         self.heavy_bank = None
-        self.heavy_bank_t = None  # [G, H8, LANE] tile-major rescore copy
         self.heavy_ub = None
         self.heavy_bits = None
-        self.heavy_rowmax = None
-        self.heavy_bank_bf16 = None
-        self.heavy_presence_bf16 = None
 
     def host_row(self, tid: int, weight: np.float32) -> np.ndarray:
         """Dense f32 score row for one term: weight * tf_factor scattered
@@ -974,14 +801,6 @@ class RowFieldIndex:
             )
         if self.prunable:
             self.heavy_ub, self.heavy_bits = build_tile_aux(self.heavy_bank)
-            self.heavy_rowmax = self.heavy_ub.max(axis=1)
-            self.heavy_bank_bf16 = _pad_rows8(
-                self.heavy_bank.astype(jnp.bfloat16)
-            )
-            self.heavy_presence_bf16 = (
-                self.heavy_bank_bf16 > 0
-            ).astype(jnp.bfloat16)
-            self.heavy_bank_t = jax.jit(_tile_major)(self.heavy_bank)
 
 
 # ---------------------------------------------------------------------------
@@ -1088,6 +907,24 @@ def row_count(
 
 
 @dataclass
+class CompactBatch:
+    """Batch-compact clause-row bank + remapped plan arrays (built once
+    per cached batch entry; consumed by row_score_topk_pruned_batch)."""
+
+    compact_t: object  # f32 [G, U8, LANE] tile-major (exact rescore)
+    compact_bf16: object  # bf16 [U8, D] (phase-1 matmul)
+    presence_bf16: object  # bf16 [U8, D] 0/1 (= compact_bf16 when pure-OR)
+    cidx: object  # int32 [Q, Tq]
+    cflags: object  # int32 [Q, Tq]
+    a_sc_t: object  # bf16 [U8, Q]
+    a_rq_t: object
+    a_sh_t: object
+    a_ng_t: object
+    params_t: object  # f32 [8, Q]
+    nbytes: int
+
+
+@dataclass
 class RowPlan:
     hidx: np.ndarray  # int32 [Tq_pad]
     light_rows: np.ndarray  # f32 [n_light, D] host rows for this plan
@@ -1105,8 +942,13 @@ class RowPlan:
 
 class RowExecutor:
     def __init__(self, index: RowFieldIndex):
+        from collections import OrderedDict
+
         self.index = index
-        self._batch_cache: Dict[tuple, tuple] = {}
+        # LRU keyed by plan identity, bounded by device bytes (compact
+        # banks dominate; see BATCH_CACHE_BUDGET)
+        self._batch_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._batch_bytes = 0
 
     def build_plan(self, term_plans, min_should: int,
                    idf_of_tid) -> RowPlan:
@@ -1213,55 +1055,22 @@ class RowExecutor:
         light_aux = (
             build_tile_aux(light_bank) if self.index.prunable else (None, None)
         )
-        # clause-indicator matrices for the approx-matmul selection phase,
-        # split by role (widths match the 8-padded bf16 banks): scoring
-        # clauses drive the approx score, req/sho/neg drive the EXACT
-        # presence-count matmuls of the general-boolean pruned kernel
         hidx_arr = pad(lambda p: p.hidx, np.int32, fill=-1)
         sc_arr = pad(lambda p: p.scoring, bool)
         rq_arr = pad(lambda p: p.req, np.float32)
         sh_arr = pad(lambda p: p.sho, np.float32)
         ng_arr = pad(lambda p: p.neg, np.float32)
-        if self.index.heavy_bank_bf16 is not None:
-            n_heavy_rows = int(self.index.heavy_bank_bf16.shape[0])
-        elif self.index.heavy_bank is not None:
-            n_heavy_rows = int(self.index.heavy_bank.shape[0])
-        else:
-            n_heavy_rows = 1
-        nl8 = -(-nrows // 8) * 8
-        nq = len(plans)
-        a_mats = {
-            r: (np.zeros((nq, n_heavy_rows), np.float32),
-                np.zeros((nq, nl8), np.float32))
-            for r in ("score", "req", "sho", "neg")
-        }
-        for qi in range(nq):
-            for ci, (hi, li) in enumerate(zip(hidx_arr[qi], lidx[qi])):
-                roles = []
-                if sc_arr[qi, ci]:
-                    roles.append("score")
-                if rq_arr[qi, ci] > 0:
-                    roles.append("req")
-                if sh_arr[qi, ci] > 0:
-                    roles.append("sho")
-                if ng_arr[qi, ci] > 0:
-                    roles.append("neg")
-                for r in roles:
-                    if hi >= 0:
-                        a_mats[r][0][qi, hi] += 1.0
-                    elif li > 0:
-                        a_mats[r][1][qi, li] += 1.0
-        a_heavy, a_light = a_mats["score"]
-        light_bf16 = None
-        light_presence_bf16 = None
-        light_t = None
         compact = None
-        if self.index.prunable:
-            light_bf16 = _pad_rows8(light_bank.astype(jnp.bfloat16))
-            light_presence_bf16 = (light_bf16 > 0).astype(jnp.bfloat16)
-            light_t = jax.jit(_tile_major)(light_bank)
-            compact = self._build_compact(hidx_arr, lidx, sc_arr, rq_arr,
-                                          sh_arr, ng_arr, light_bank, total)
+        pure_or = all(p.pure_or for p in plans)
+        if (
+            self.index.prunable
+            and self.index.heavy_bank is not None
+            and (len(plans) >= self.approx_min_q or not pure_or)
+        ):
+            compact = self._build_compact(
+                hidx_arr, lidx, sc_arr, rq_arr, sh_arr, ng_arr,
+                light_bank, total, plans, pure_or,
+            )
         return (
             jnp.asarray(hidx_arr),
             jnp.asarray(lidx),
@@ -1274,27 +1083,21 @@ class RowExecutor:
             ),
             light_bank,
             light_aux,
-            (
-                {r: (jnp.asarray(h), jnp.asarray(l))
-                 for r, (h, l) in a_mats.items()},
-                light_bf16,
-                light_presence_bf16,
-                light_t,
-                compact,
-            ),
+            compact,
         )
 
     # batch-compact banks beyond this many rows would overflow the rescore
-    # kernel's VMEM slab ring; such batches use the tile-major XLA rescore
-    COMPACT_MAX_ROWS = 256
+    # kernel's VMEM slab ring; such batches fall back to exhaustive scoring
+    COMPACT_MAX_ROWS = 512
 
     def _build_compact(self, hidx_arr, lidx, sc_arr, rq_arr, sh_arr,
-                       ng_arr, light_bank, n_light):
-        """(compact_t [G, U8, LANE], cidx [Q, Tq], cflags [Q, Tq]) — the
-        batch's clause rows compacted into one small tile-major bank so
-        the pruned rescore fetches one contiguous [U8, LANE] slab per
-        selected tile (see ops/pallas/gather_rescore.py). Row 0 is the
-        shared zero row; padding clauses keep cidx 0."""
+                       ng_arr, light_bank, n_light, plans, pure_or):
+        """CompactBatch — the batch's clause rows compacted into one small
+        bank (f32 tile-major for the exact rescore + bf16/presence row-
+        major for phase 1) with per-clause indices remapped, so BOTH
+        pruned phases scale with the batch's vocabulary, not the corpus's
+        heavy-term count. Row 0 is the shared zero row; padding clauses
+        keep cidx 0."""
         used = np.unique(hidx_arr[hidx_arr >= 0])
         n_rows = 1 + len(used) + n_light
         if n_rows > self.COMPACT_MAX_ROWS:
@@ -1320,17 +1123,75 @@ class RowExecutor:
             parts.append(self.index.heavy_bank[jnp.asarray(used)])
         if n_light:
             parts.append(light_bank[1 : 1 + n_light])
-        compact_t = jax.jit(_tile_major)(jnp.concatenate(parts))
-        return compact_t, jnp.asarray(cidx), jnp.asarray(cflags)
+        compact_f32 = _pad_rows8(jnp.concatenate(parts))
+        U8 = int(compact_f32.shape[0])
+        compact_t = jax.jit(
+            lambda b: b.reshape(U8, D // LANE, LANE).transpose(1, 0, 2)
+        )(compact_f32)
+        compact_bf16 = compact_f32.astype(jnp.bfloat16)
+        nbytes = U8 * D * 6  # f32 tile-major + bf16
+        presence_bf16 = compact_bf16  # placeholder (unused when pure-OR)
+        if not pure_or:
+            presence_bf16 = (compact_bf16 > 0).astype(jnp.bfloat16)
+            nbytes += U8 * D * 2
+
+        # transposed per-role clause-indicator matrices for phase 1
+        nq, tq = cidx.shape
+        a = {
+            r: np.zeros((U8, nq), np.float32)
+            for r in ("sc", "rq", "sh", "ng")
+        }
+        qgrid = np.broadcast_to(np.arange(nq)[:, None], cidx.shape)
+        for r, marr in (
+            ("sc", sc_arr),
+            ("rq", rq_arr > 0),
+            ("sh", sh_arr > 0),
+            ("ng", ng_arr > 0),
+        ):
+            m = marr.astype(bool) & (cidx > 0)
+            np.add.at(a[r], (cidx[m], qgrid[m]), 1.0)
+        params = np.zeros((8, nq), np.float32)
+        params[0] = [p.num_required for p in plans]
+        params[1] = [p.min_should for p in plans]
+        dev = jnp.asarray
+        return CompactBatch(
+            compact_t,
+            compact_bf16,
+            presence_bf16,
+            dev(cidx),
+            dev(cflags),
+            dev(a["sc"]).astype(jnp.bfloat16),
+            dev(a["rq"]).astype(jnp.bfloat16),
+            dev(a["sh"]).astype(jnp.bfloat16),
+            dev(a["ng"]).astype(jnp.bfloat16),
+            dev(params),
+            nbytes,
+        )
+
+    # total device bytes the batch-entry LRU may hold (compact banks are
+    # ~8 bytes/doc/unique-row; at 1M docs an OR-20 entry is ~190 MB)
+    BATCH_CACHE_BUDGET = 2 << 30
 
     def _entry(self, plans: Sequence[RowPlan]):
         ck = tuple(id(p) for p in plans)
         entry = self._batch_cache.get(ck)
         if entry is None:
             stacked = self._stack(plans)
-            entry = (list(plans), stacked)
-            if len(self._batch_cache) < 64:
-                self._batch_cache[ck] = entry
+            compact = stacked[-1]
+            nbytes = (
+                compact.nbytes if compact is not None else 0
+            ) + stacked[7].nbytes  # light bank
+            entry = (list(plans), stacked, nbytes)
+            self._batch_bytes += nbytes
+            self._batch_cache[ck] = entry
+            while (
+                self._batch_bytes > self.BATCH_CACHE_BUDGET
+                and len(self._batch_cache) > 1
+            ):
+                _, (_, _, nb) = self._batch_cache.popitem(last=False)
+                self._batch_bytes -= nb
+        else:
+            self._batch_cache.move_to_end(ck)
         return entry
 
     def _args(self, plans: Sequence[RowPlan]):
@@ -1375,94 +1236,52 @@ class RowExecutor:
         return len(plans) >= self.approx_min_q
 
     def _dispatch_pruned(self, plans: Sequence[RowPlan], k: int):
+        """Pruned dispatch; returns None when the batch cannot prune
+        (compact bank too large) so dispatch() falls back to exhaustive."""
         (
-            hidx, lidx, scoring, req, sho, neg, bool_params, light_bank,
-            light_aux, amats,
+            hidx, lidx, _scoring, _req, _sho, _neg, bool_params, light_bank,
+            light_aux, compact,
         ) = self._entry(plans)[1]
         idx = self.index
         G = idx.num_docs_pad // LANE
         B = min(G, max(self.prune_B0, -(-k // LANE) + 1))
+        pure_or = all(p.pure_or for p in plans)
+        import jax as _jax
+
+        interpret = _jax.default_backend() == "cpu"
+        batch_mode = len(plans) >= self.approx_min_q or not pure_or
+        if batch_mode:
+            if compact is None or not self.use_pallas:
+                return None  # exhaustive fallback
+            return row_score_topk_pruned_batch(
+                compact.compact_t,
+                compact.compact_bf16,
+                compact.presence_bf16,
+                compact.cidx,
+                compact.cflags,
+                idx.live,
+                compact.a_sc_t,
+                compact.a_rq_t,
+                compact.a_sh_t,
+                compact.a_ng_t,
+                compact.params_t,
+                bool_params,
+                k=k,
+                B=B,
+                boolean=not pure_or,
+                interpret=interpret,
+            )
+        # small pure-OR batches: per-clause tile-UB bounds (one [G] row
+        # per clause beats a whole-bank matmul below approx_min_q)
         light_ub, light_bits = light_aux
         if light_ub is None:  # zero-row-only bank never hits the light path
             light_ub = jnp.zeros((1, G), jnp.float32)
             light_bits = jnp.zeros(
                 (1, idx.num_docs_pad // 32), jnp.uint32
             )
-        pure_or = all(p.pure_or for p in plans)
-        a_role, light_bf16, light_presence_bf16, light_t, compact = amats
-        light_small = light_bank.shape[0] == 1
-        import jax as _jax
-
-        interpret = _jax.default_backend() == "cpu"
-        pallas_rescore = self.use_pallas and compact is not None
-        if compact is None:
-            G = idx.num_docs_pad // LANE
-            dummy = (
-                jnp.zeros((G, 8, LANE), jnp.float32),
-                jnp.zeros_like(hidx),
-                jnp.zeros_like(hidx),
-            )
-            compact_t, cidx, cflags = dummy
-        else:
-            compact_t, cidx, cflags = compact
-        if not pure_or:
-            return row_score_topk_approx_bool(
-                idx.heavy_bank_t,
-                idx.heavy_bank_bf16,
-                idx.heavy_presence_bf16,
-                light_t,
-                light_bf16,
-                light_presence_bf16,
-                compact_t,
-                cidx,
-                cflags,
-                idx.live,
-                hidx,
-                lidx,
-                scoring,
-                req,
-                sho,
-                neg,
-                bool_params,
-                a_role["score"][0],
-                a_role["score"][1],
-                a_role["req"][0],
-                a_role["req"][1],
-                a_role["sho"][0],
-                a_role["sho"][1],
-                a_role["neg"][0],
-                a_role["neg"][1],
-                k=k,
-                B=B,
-                light_small=light_small,
-                pallas_rescore=pallas_rescore,
-                interpret=interpret,
-            )
-        if len(plans) >= self.approx_min_q:
-            a_heavy, a_light = a_role["score"]
-            return row_score_topk_approx_or(
-                idx.heavy_bank_t,
-                idx.heavy_bank_bf16,
-                light_t,
-                light_bf16,
-                compact_t,
-                cidx,
-                idx.live,
-                hidx,
-                lidx,
-                a_heavy,
-                a_light,
-                k=k,
-                B=B,
-                use_pallas=self.use_pallas
-                and idx.num_docs_pad % 1024 == 0,
-                interpret=interpret,
-                light_small=light_small,
-                pallas_rescore=pallas_rescore,
-            )
         return row_score_topk_pruned_or(
-            idx.heavy_bank_t,
-            light_t,
+            idx.heavy_bank,
+            light_bank,
             idx.heavy_ub,
             light_ub,
             idx.heavy_bits,
@@ -1473,14 +1292,15 @@ class RowExecutor:
             lidx,
             k=k,
             B=B,
-            light_small=light_small,
         )
 
     def dispatch(self, plans: Sequence[RowPlan], k: int):
         import jax
 
         if self._use_pruned(plans):
-            return self._dispatch_pruned(plans, k)
+            fused = self._dispatch_pruned(plans, k)
+            if fused is not None:
+                return fused
         args = self._args(plans)
         if all(p.pure_or for p in plans):
             (heavy, light, live, hidx, lidx, *_rest) = args

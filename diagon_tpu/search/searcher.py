@@ -130,11 +130,16 @@ class IndexSearcher:
         self._device = device
         self._tier = None
         # caches must exist before tier promotion callbacks can fire
+        from collections import OrderedDict
+
         self.sim = BM25Similarity()
         self._field_ctx: Dict[str, _FieldContext] = {}
         self._phrase_execs: Dict[str, list] = {}
         self._idf_cache: Dict[Tuple[str, str, float], np.float32] = {}
-        self._plan_cache: Dict[tuple, List[Optional[SegmentPlan]]] = {}
+        # LRU: plans hold O(D) host rows for light/range/nested clauses,
+        # so an unbounded cache would leak ~4 MB/plan at 1M docs
+        self._plan_cache: "OrderedDict[tuple, list]" = OrderedDict()
+        self._plan_cache_max = 512
         self._oracle = None  # lazy: compiles nested subtrees to rows
         self._query_cache: Dict[int, tuple] = {}
         self._query_cache_refs: List[Query] = []
@@ -517,6 +522,7 @@ class IndexSearcher:
         )
         cached = self._plan_cache.get(cache_key)
         if cached is not None:
+            self._plan_cache.move_to_end(cache_key)
             return cached
         ctx = self._ctx(field)
         plans = []
@@ -527,6 +533,8 @@ class IndexSearcher:
                 continue
             plans.append(ex.build_plan(tps, min_should, ex.idf_of_tid))
         self._plan_cache[cache_key] = plans
+        while len(self._plan_cache) > self._plan_cache_max:
+            self._plan_cache.popitem(last=False)
         return plans
 
     def _segment_plans(
@@ -542,6 +550,7 @@ class IndexSearcher:
         )
         cached = self._plan_cache.get(cache_key)
         if cached is not None:
+            self._plan_cache.move_to_end(cache_key)
             return cached
         ctx = self._ctx(field)
         # Deterministic accumulation order: sort scoring clauses by term text
@@ -590,6 +599,8 @@ class IndexSearcher:
                 )
             )
         self._plan_cache[cache_key] = plans
+        while len(self._plan_cache) > self._plan_cache_max:
+            self._plan_cache.popitem(last=False)
         return plans
 
     # -- public API ----------------------------------------------------------
