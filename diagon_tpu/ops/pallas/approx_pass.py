@@ -32,11 +32,17 @@ def _chunk_for(D: int, cap: int) -> int:
     raise ValueError(f"D={D} must be a multiple of 1024")
 
 
-def _dot_t(a_t, b):
-    """[U8, Q]^T . [U8, CH] -> [Q, CH] f32 (contract over rows)."""
+def _dot_ct(b, a_t):
+    """[U8, CH]^T . [U8, Q] -> [CH, Q] f32 — the TRANSPOSED product.
+
+    Producing [CH, Q] puts each 128-doc tile on the SUBLANE-major axis:
+    the tile reduction becomes 16 elementwise vreg maxes + a 3-pass
+    8-sublane epilogue (one read of the product) instead of a 7-pass
+    cross-lane log-shuffle over every product value — the tile-max was
+    the phase-1 wall, not the MXU."""
     return jax.lax.dot_general(
-        a_t,
         b,
+        a_t,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -44,13 +50,13 @@ def _dot_t(a_t, b):
 
 def _kernel_or(at_ref, bank_ref, live_ref, tmax_ref, hits_ref):
     c = pl.program_id(0)
-    ap = _dot_t(at_ref[...], bank_ref[...])  # [Q, CH]
-    q = ap.shape[0]
-    g = ap.reshape(q, -1, 128)
-    lv = live_ref[...].reshape(1, -1, 128)
+    ap = _dot_ct(bank_ref[...], at_ref[...])  # [CH, Q]
+    q = ap.shape[1]
+    g = ap.reshape(-1, 128, q)  # [ng, 128(docs), Q]
+    lv = live_ref[...].reshape(-1, 128)[:, :, None]  # [ng, 128, 1]
     match = (g > 0) & (lv > 0)
-    tmax_ref[...] = jnp.max(g, axis=2).T  # [ng, Q]
-    cnt_t = jnp.sum(match, axis=2, dtype=jnp.int32).T  # [ng, Q]
+    tmax_ref[...] = jnp.max(g, axis=1)  # [ng, Q]
+    cnt_t = jnp.sum(match, axis=1, dtype=jnp.int32)  # [ng, Q]
     cnt = jnp.sum(cnt_t, axis=0, keepdims=True)  # [1, Q] (2-D for mosaic)
 
     @pl.when(c == 0)
@@ -69,18 +75,18 @@ def _kernel_bool(
     feasibility-gated tile maxima and exact hit counts. params rows:
     0 = num_required, 1 = min_should."""
     c = pl.program_id(0)
-    ap = _dot_t(asc_ref[...], bank_ref[...])  # [Q, CH]
-    rc = _dot_t(arq_ref[...], pres_ref[...])
-    oc = _dot_t(ash_ref[...], pres_ref[...])
-    nc = _dot_t(ang_ref[...], pres_ref[...])
-    nreq = params_ref[0:1, :].T[:, :, None]  # [Q, 1, 1]
-    msm = params_ref[1:2, :].T[:, :, None]
-    q = ap.shape[0]
-    g = ap.reshape(q, -1, 128)
-    rc3 = rc.reshape(q, -1, 128)
-    oc3 = oc.reshape(q, -1, 128)
-    nc3 = nc.reshape(q, -1, 128)
-    lv = live_ref[...].reshape(1, -1, 128)
+    ap = _dot_ct(bank_ref[...], asc_ref[...])  # [CH, Q]
+    rc = _dot_ct(pres_ref[...], arq_ref[...])
+    oc = _dot_ct(pres_ref[...], ash_ref[...])
+    nc = _dot_ct(pres_ref[...], ang_ref[...])
+    nreq = params_ref[0:1, :]  # [1, Q] broadcasts over [ng, 128, Q]
+    msm = params_ref[1:2, :]
+    q = ap.shape[1]
+    g = ap.reshape(-1, 128, q)  # [ng, 128(docs), Q]
+    rc3 = rc.reshape(-1, 128, q)
+    oc3 = oc.reshape(-1, 128, q)
+    nc3 = nc.reshape(-1, 128, q)
+    lv = live_ref[...].reshape(-1, 128)[:, :, None]
     # compare AFTER the f32 reshapes (mosaic cannot reshape i1 vectors)
     m = (
         (rc3 == nreq)
@@ -89,12 +95,12 @@ def _kernel_bool(
         & ((rc3 + oc3) > 0)
         & (lv > 0)
     )
-    feasible = jnp.any(m, axis=2)  # [Q, ng]
+    feasible = jnp.any(m, axis=1)  # [ng, Q]
     tmax = jnp.where(
-        feasible, jnp.max(g, axis=2), jnp.float32(-1.0)
+        feasible, jnp.max(g, axis=1), jnp.float32(-1.0)
     )
-    tmax_ref[...] = tmax.T
-    cnt_t = jnp.sum(m, axis=2, dtype=jnp.int32).T  # [ng, Q]
+    tmax_ref[...] = tmax
+    cnt_t = jnp.sum(m, axis=1, dtype=jnp.int32)  # [ng, Q]
     cnt = jnp.sum(cnt_t, axis=0, keepdims=True)  # [1, Q]
 
     @pl.when(c == 0)

@@ -27,7 +27,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NSLOT = 8  # in-flight slab DMAs per query
+NSLOT = 8  # in-flight slab DMAs per query (ring kernel)
+
+# The resident kernel holds BOTH double-buffered slab sets in VMEM:
+# 2 * U8 * B * LANE * 4 bytes. Budget well under the ~16 MB/core so the
+# output blocks + compiler temporaries fit; bigger batches use the ring.
+RESIDENT_VMEM_BUDGET = 6 << 20
 
 
 def _mk_kernel(B: int, Tq: int, boolean: bool):
@@ -87,6 +92,80 @@ def _mk_kernel(B: int, Tq: int, boolean: bool):
     return kernel
 
 
+def _mk_kernel_resident(B: int, Tq: int, boolean: bool):
+    """All-resident variant: every selected slab of the current query
+    lives in VMEM at once (slabs [2, U8, B, LANE], double-buffered across
+    queries), so the clause loop adds [B, LANE] vectors — Tq VPU ops per
+    query instead of B*Tq [1, LANE] ops. Per-doc f32 accumulation order
+    is unchanged (sequential in t for every lane), so results stay
+    bit-exact vs the ring kernel, the XLA scan, and the numpy oracle."""
+
+    def kernel(*refs):
+        if boolean:
+            (cidx_ref, tsel_ref, flags_ref, bank_ref,
+             s_ref, r_ref, o_ref, n_ref, slabs, sems) = refs
+        else:
+            cidx_ref, tsel_ref, bank_ref, s_ref, slabs, sems = refs
+        q = pl.program_id(0)
+        nq = pl.num_programs(0)
+        slot = jax.lax.rem(q, 2)
+
+        def issue(qq, sl):
+            # dst [U8, b, :] is a strided [U8, LANE] view; the HBM read
+            # side stays one contiguous slab
+            for b in range(B):
+                pltpu.make_async_copy(
+                    bank_ref.at[tsel_ref[b, qq]],
+                    slabs.at[sl, :, b, :],
+                    sems.at[sl, b],
+                ).start()
+
+        @pl.when(q == 0)
+        def _():
+            issue(0, 0)
+
+        # prefetch the next query's slabs into the other buffer (that
+        # buffer's previous consumer was program q-1, already done —
+        # the grid is sequential)
+        @pl.when(q + 1 < nq)
+        def _():
+            issue(q + 1, 1 - slot)
+
+        for b in range(B):
+            pltpu.make_async_copy(
+                bank_ref.at[tsel_ref[b, q]],
+                slabs.at[slot, :, b, :],
+                sems.at[slot, b],
+            ).wait()
+
+        acc = jnp.zeros((B, slabs.shape[3]), jnp.float32)
+        if boolean:
+            rc = jnp.zeros_like(acc)
+            oc = jnp.zeros_like(acc)
+            nc = jnp.zeros_like(acc)
+        for t in range(Tq):
+            row = slabs[slot, cidx_ref[t, q]]  # [B, LANE]
+            if boolean:
+                fl = flags_ref[t, q]
+                present = jnp.where(
+                    row > 0, jnp.float32(1.0), jnp.float32(0.0)
+                )
+                zero = jnp.zeros_like(row)
+                acc = acc + jnp.where((fl & 1) != 0, row, zero)
+                rc = rc + jnp.where((fl & 2) != 0, present, zero)
+                oc = oc + jnp.where((fl & 4) != 0, present, zero)
+                nc = nc + jnp.where((fl & 8) != 0, present, zero)
+            else:
+                acc = acc + row
+        s_ref[0] = acc
+        if boolean:
+            r_ref[0] = rc
+            o_ref[0] = oc
+            n_ref[0] = nc
+
+    return kernel
+
+
 def pallas_gather_rescore(
     compact_t: jnp.ndarray,  # f32 [G, U8, LANE] tile-major compact bank
     cidx: jnp.ndarray,  # int32 [Q, Tq] compact row per clause (0 = zero row)
@@ -102,10 +181,23 @@ def pallas_gather_rescore(
     B = tsel.shape[1]
     boolean = flags is not None
 
+    resident = 2 * U8 * B * LANE * 4 <= RESIDENT_VMEM_BUDGET
     n_out = 4 if boolean else 1
     scalars = (
         (cidx.T, tsel.T, flags.T) if boolean else (cidx.T, tsel.T)
     )
+    if resident:
+        scratch = [
+            pltpu.VMEM((2, U8, B, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, B)),
+        ]
+        kernel = _mk_kernel_resident(B, Tq, boolean)
+    else:
+        scratch = [
+            pltpu.VMEM((NSLOT, U8, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((NSLOT,)),
+        ]
+        kernel = _mk_kernel(B, Tq, boolean)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),
         grid=(Q,),
@@ -114,13 +206,10 @@ def pallas_gather_rescore(
             pl.BlockSpec((1, B, LANE), lambda q, *_: (q, 0, 0))
             for _ in range(n_out)
         ),
-        scratch_shapes=[
-            pltpu.VMEM((NSLOT, U8, LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA((NSLOT,)),
-        ],
+        scratch_shapes=scratch,
     )
     outs = pl.pallas_call(
-        _mk_kernel(B, Tq, boolean),
+        kernel,
         grid_spec=grid_spec,
         out_shape=tuple(
             jax.ShapeDtypeStruct((Q, B, LANE), jnp.float32)

@@ -473,20 +473,29 @@ _APPROX_RELEPS = np.float32(2.0 ** -7)
 
 
 def _select_tiles(tile_upper, Bk: int, G: int):
-    """vmapped tile selection: (tsel int32 [Q, Bk] ascending, u_next [Q]).
-    u_next = -inf when every tile is selected (certificate trivially
-    safe)."""
+    """Batch tile selection: (tsel int32 [Q, Bk] ascending, u_next [Q]).
 
-    def one(upper_q):
-        if Bk < G:
-            utop, tfull = jax.lax.top_k(upper_q, Bk + 1)
-            return jnp.sort(tfull[:Bk]), utop[Bk]
-        return (
-            jnp.arange(G, dtype=jnp.int32),
-            jnp.float32(-jnp.inf),
+    Selection uses ``approx_max_k`` (measured ~2x faster than exact
+    ``top_k`` at [1024, 7813]); exactness does NOT depend on selection
+    quality because ``u_next`` is the EXACT maximum upper bound over the
+    unselected tiles (membership-mask + masked max — no scatter, see
+    CLAUDE.md): ``theta > u_next`` still proves every true top-k doc
+    lives in a selected tile, and a miss merely escalates that query to
+    the exhaustive kernel. u_next = -inf when every tile is selected."""
+    Q = tile_upper.shape[0]
+    if Bk >= G:
+        tsel = jnp.broadcast_to(
+            jnp.arange(G, dtype=jnp.int32)[None], (Q, G)
         )
-
-    return jax.vmap(one)(tile_upper)
+        return tsel, jnp.full((Q,), -jnp.inf, jnp.float32)
+    _, idx = jax.lax.approx_max_k(tile_upper, Bk, recall_target=0.99)
+    tsel = jnp.sort(idx.astype(jnp.int32), axis=1)  # docid-order rank stage
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, G), 2)
+    member = jnp.any(tsel[:, :, None] == iota, axis=1)  # [Q, G]
+    u_next = jnp.max(
+        jnp.where(member, -jnp.inf, tile_upper), axis=1
+    )
+    return tsel, u_next
 
 
 @partial(jax.jit, static_argnames=("k", "B", "boolean", "interpret"))

@@ -263,3 +263,31 @@ def test_pruned_general_boolean_fuzz():
             assert o_.score == d_.score
         checked += 1
     assert checked >= 20
+
+
+def test_ring_kernel_matches_resident(monkeypatch):
+    """The rescore has two pallas kernels (all-resident slabs vs the
+    NSLOT DMA ring for batches whose slab set exceeds VMEM). Force the
+    ring by zeroing the resident budget and assert bit-exact parity —
+    keeps the large-batch fallback covered now that small batches always
+    take the resident kernel."""
+    from diagon_tpu.ops.pallas import gather_rescore as gr
+
+    seg = _corpus()
+    oracle = OracleSearcher([seg])
+    queries = [_or_query(t) for t in QUERIES]
+
+    def run():
+        searcher = IndexSearcher([seg])
+        _force_pruned(searcher, "body", 8, approx_min_q=1)
+        return searcher.search_batch(queries, 10)
+
+    resident = run()
+    monkeypatch.setattr(gr, "RESIDENT_VMEM_BUDGET", 0)
+    ring = run()
+    for terms, a, b in zip(QUERIES, resident, ring):
+        want = oracle.search(_or_query(terms), 10)
+        assert a.doc_ids() == b.doc_ids() == want.doc_ids(), terms
+        assert a.total_hits == b.total_hits == want.total_hits
+        for o, x, y in zip(want.score_docs, a.score_docs, b.score_docs):
+            assert o.score == x.score == y.score
