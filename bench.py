@@ -242,7 +242,7 @@ def main():
             np.asarray(parts[-1][2][0, 0])
             return (time.perf_counter() - t0) / n
 
-        sts = [scale_trial(8) for _ in range(5)]
+        sts = [scale_trial(32) for _ in range(5)]  # long chains: the ~25 ms tunnel probe amortizes to <1 ms/batch
         sqps = QS / min(sts)
         scale = {
             "or20_1m_qps": round(sqps),

@@ -31,7 +31,7 @@ def main():
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--trial-batches", type=int, default=8)
+    ap.add_argument("--trial-batches", type=int, default=32)
     ap.add_argument("--b0", type=int, default=0, help="override prune_B0")
     ap.add_argument("--skip-parity", action="store_true")
     args = ap.parse_args()
