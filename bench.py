@@ -98,7 +98,7 @@ def index_bytes_per_doc(seg) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="2k-doc smoke run")
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--latency-reps", type=int, default=10)
     ap.add_argument("--skip-parity", action="store_true")

@@ -27,7 +27,7 @@ TILE = 1024
 def _kernel(hidx_ref, lidx_ref, heavy_blk, light_blk, out_ref):
     t = pl.program_id(2)
     q = pl.program_id(0)
-    hi = hidx_ref[q, t]
+    hi = hidx_ref[t, q]
     row = jnp.where(hi >= 0, heavy_blk[...], light_blk[...])
 
     @pl.when(t == 0)
@@ -48,8 +48,8 @@ def _kernel_boolean(
     flags bit0=scoring bit1=required bit2=should bit3=negated."""
     q = pl.program_id(0)
     t = pl.program_id(2)
-    hi = hidx_ref[q, t]
-    fl = flags_ref[q, t]
+    hi = hidx_ref[t, q]
+    fl = flags_ref[t, q]
     row = jnp.where(hi >= 0, heavy_blk[...], light_blk[...])
     present = jnp.where(row > 0, jnp.float32(1.0), jnp.float32(0.0))
     zero = jnp.zeros_like(row)
@@ -95,10 +95,10 @@ def pallas_row_boolean(
     lb = light_bank.reshape(L, S, 128)
 
     def hmap(q, c, t, hidx_ref, lidx_ref, flags_ref):
-        return (jnp.maximum(hidx_ref[q, t], 0), c, 0)
+        return (jnp.maximum(hidx_ref[t, q], 0), c, 0)
 
     def lmap(q, c, t, hidx_ref, lidx_ref, flags_ref):
-        return (jnp.maximum(lidx_ref[q, t], 0), c, 0)
+        return (jnp.maximum(lidx_ref[t, q], 0), c, 0)
 
     def omap(q, c, t, *_):
         return (q, c, 0)
@@ -122,7 +122,7 @@ def pallas_row_boolean(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(hidx, lidx, flags, hb, lb)
+    )(hidx.T, lidx.T, flags.T, hb, lb)
     return tuple(o.reshape(Q, D) for o in outs)
 
 
@@ -163,7 +163,7 @@ def pallas_row_sum(
             pl.BlockSpec(
                 (1, CH, 128),
                 lambda q, c, t, hidx_ref, lidx_ref: (
-                    jnp.maximum(hidx_ref[q, t], 0),
+                    jnp.maximum(hidx_ref[t, q], 0),
                     c,
                     0,
                 ),
@@ -171,7 +171,7 @@ def pallas_row_sum(
             pl.BlockSpec(
                 (1, CH, 128),
                 lambda q, c, t, hidx_ref, lidx_ref: (
-                    jnp.maximum(lidx_ref[q, t], 0),
+                    jnp.maximum(lidx_ref[t, q], 0),
                     c,
                     0,
                 ),
@@ -187,5 +187,5 @@ def pallas_row_sum(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(hidx, lidx, hb, lb)
+    )(hidx.T, lidx.T, hb, lb)
     return out.reshape(Q, D)

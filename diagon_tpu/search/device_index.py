@@ -57,10 +57,30 @@ class DeviceField:
     block_entry_start: jnp.ndarray  # int32 [NB]
     norms: jnp.ndarray  # int32 [num_docs] (uint8 widened for gathers)
 
-    # positions (None if field indexed without positions)
-    pos_start: Optional[jnp.ndarray] = None  # int32 [NE+1]
-    positions: Optional[jnp.ndarray] = None  # int32 [NP]
+    # positions (None if field indexed without positions). Device upload
+    # is LAZY (ensure_positions): the position arrays are ~NP*4 bytes —
+    # at 10M docs ~5 GB of HBM that only phrase queries touch; eager
+    # upload OOM'd the 10M scale run next to the 6 GB heavy bank.
+    pos_start: Optional[jnp.ndarray] = None  # int32 [NE+1] (device, lazy)
+    positions: Optional[jnp.ndarray] = None  # int32 [NP] (device, lazy)
     max_positions_per_entry: int = 0
+    pos_start_host: Optional[object] = None  # np int32 [NE+1]
+    positions_host: Optional[object] = None  # np int32 [NP]
+    _pos_device: Optional[object] = None
+
+    @property
+    def with_position_data(self) -> bool:
+        return self.pos_start_host is not None
+
+    def ensure_positions(self) -> None:
+        """Upload position arrays to the device on first phrase use."""
+        if self.pos_start is None and self.pos_start_host is not None:
+            self.pos_start = jax.device_put(
+                jnp.asarray(self.pos_start_host), self._pos_device
+            )
+            self.positions = jax.device_put(
+                jnp.asarray(self.positions_host), self._pos_device
+            )
 
     def term_id(self, term: str) -> int:
         return self.term_ids.get(term, -1)
@@ -129,11 +149,12 @@ def load_field(fd: SegmentFieldData, num_docs_pad: int, device=None) -> DeviceFi
     )
 
     if pp.pos_start is not None:
-        field.pos_start = dev(pp.pos_start.astype(np.int32))
+        field.pos_start_host = pp.pos_start.astype(np.int32)
         pos = pp.positions
         if len(pos) == 0:
             pos = np.zeros(1, dtype=np.int32)
-        field.positions = dev(pos)
+        field.positions_host = np.asarray(pos, dtype=np.int32)
+        field._pos_device = device
         counts = np.diff(pp.pos_start)
         field.max_positions_per_entry = int(counts.max()) if len(counts) else 0
     return field

@@ -226,6 +226,7 @@ class PhraseExecutor:
             )
         pos_caps, lead = caps_lead
         f = self.field
+        f.ensure_positions()  # lazy HBM upload (phrase-only data)
         kk = min(k, cand.shape[0])
         fused = np.asarray(
             phrase_positions_topk(

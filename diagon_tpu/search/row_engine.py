@@ -43,9 +43,10 @@ HEAVY_MIN_DF = 256
 
 # Block-max pruned scoring (the WAND role, WANDScorer.h:17-285): engage the
 # two-phase kernel once a segment is large enough that exhaustive [Tq, D]
-# row traffic dominates (the upper-bound pass costs D/128 f32 + D/8 bitmap
-# bytes per clause vs 4*D exhaustive).
-PRUNE_MIN_DOCS = 1 << 18
+# row traffic dominates. Measured crossover (OR-20, batch=1024, v5e):
+# pruned 2.68 ms vs exhaustive 3.55 ms already at 19k docs; below ~16k
+# the fixed phase-1/select cost loses to the tiny exhaustive pass.
+PRUNE_MIN_DOCS = 1 << 14
 # Initial candidate-tile budget per query. The approx selection phase is
 # near-exact (bf16-relative bound), so the true top-k live in <= k tiles;
 # 32 leaves a tie margin and the certificate escalates when starved
@@ -256,17 +257,44 @@ def row_score_topk_pure_or_pallas(
 
 
 @jax.jit
+def _tile_aux_rows(rows):
+    N, D = rows.shape
+    ub = rows.reshape(N, D // LANE, LANE).max(axis=-1)
+    v = (rows > 0).astype(jnp.uint32).reshape(N, D // 32, 32)
+    w = v << jax.lax.broadcasted_iota(jnp.uint32, v.shape, 2)
+    return ub, w.sum(axis=-1, dtype=jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("rows",))
+def _tile_aux_slice(bank, start, *, rows):
+    """Aux for bank[start:start+rows], sliced INSIDE the jit: an outside
+    slice materializes a row-chunk buffer at ENQUEUE time, and with the
+    async tunnel every chunk's buffer coexists before any executes —
+    ~7 x 1 GB transients that OOM'd the 10M build. In-program slices are
+    scoped temps that only exist while their program runs."""
+    sl = jax.lax.dynamic_slice_in_dim(bank, start, rows, 0)
+    return _tile_aux_rows(sl)
+
+
 def build_tile_aux(bank):
     """Per-row tile maxima + presence bitmaps for a dense row bank.
 
     bank f32 [N, D] -> (ub f32 [N, D/128], bits u32 [N, D/32]).
     Bit j of word w covers doc w*32+j (must match _pack_live_bits).
+    Processed in row chunks: the (bank > 0) u32 intermediate is
+    bank-sized, which OOM'd next to a 6 GB bank at 10M docs.
     """
     N, D = bank.shape
-    ub = bank.reshape(N, D // LANE, LANE).max(axis=-1)
-    v = (bank > 0).astype(jnp.uint32).reshape(N, D // 32, 32)
-    w = v << jax.lax.broadcasted_iota(jnp.uint32, v.shape, 2)
-    return ub, w.sum(axis=-1, dtype=jnp.uint32)
+    C = max(1, (1 << 28) // max(1, D))  # ~1 GB u32 temp per chunk
+    if N <= C:
+        return _tile_aux_rows(bank)
+    ubs, bits = [], []
+    for i in range(0, N, C):
+        rows = min(C, N - i)
+        u, b = _tile_aux_slice(bank, jnp.int32(i), rows=rows)
+        ubs.append(u)
+        bits.append(b)
+    return jnp.concatenate(ubs), jnp.concatenate(bits)
 
 
 def _pad_rows8(bank):
@@ -490,15 +518,71 @@ def _select_tiles(tile_upper, Bk: int, G: int):
         return tsel, jnp.full((Q,), -jnp.inf, jnp.float32)
     _, idx = jax.lax.approx_max_k(tile_upper, Bk, recall_target=0.99)
     tsel = jnp.sort(idx.astype(jnp.int32), axis=1)  # docid-order rank stage
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, G), 2)
-    member = jnp.any(tsel[:, :, None] == iota, axis=1)  # [Q, G]
-    u_next = jnp.max(
-        jnp.where(member, -jnp.inf, tile_upper), axis=1
-    )
+    # mask the selected tiles out with a Q*Bk-element scatter (tiny;
+    # a [Q, Bk, G] membership broadcast materialized 2.5 GB at 10M docs)
+    masked = tile_upper.at[
+        jnp.arange(Q, dtype=jnp.int32)[:, None], tsel
+    ].set(-jnp.inf)
+    u_next = jnp.max(masked, axis=1)
     return tsel, u_next
 
 
-@partial(jax.jit, static_argnames=("k", "B", "boolean", "interpret"))
+@partial(jax.jit, static_argnames=("Bk", "boolean", "interpret"))
+def _pruned_batch_phase1(
+    compact_bf16, presence_bf16, a_sc_t, a_rq_t, a_sh_t, a_ng_t,
+    params_t, live, *, Bk: int, boolean: bool, interpret: bool,
+):
+    """Phase 1 + tile selection as its own program. The monolithic
+    phase1+select+rescore jit compiled fine but RAN OUT OF HBM at
+    runtime on 10M-doc segments (XLA's temp plan for the fused program
+    over-allocated by gigabytes) while the identical staged pipeline
+    passes — so the batch kernel runs as two programs with a tiny
+    [Q, Bk] boundary."""
+    D = compact_bf16.shape[1]
+    G = D // LANE
+    from diagon_tpu.ops.pallas.approx_pass import (
+        pallas_approx_select,
+        pallas_approx_select_bool,
+    )
+
+    if boolean:
+        tmax, hits = pallas_approx_select_bool(
+            a_sc_t, a_rq_t, a_sh_t, a_ng_t, compact_bf16, presence_bf16,
+            params_t, live, interpret=interpret,
+        )
+    else:
+        tmax, hits = pallas_approx_select(
+            a_sc_t, compact_bf16, live, interpret=interpret
+        )
+    tile_upper = tmax * (jnp.float32(1.0) + _APPROX_RELEPS)  # [Q, G]
+    tsel, u_next = _select_tiles(tile_upper, Bk, G)
+    return tsel, u_next, hits
+
+
+@partial(jax.jit, static_argnames=("k", "boolean", "interpret"))
+def _pruned_batch_phase2(
+    compact_t, cidx, cflags, live, tsel, u_next, hits, bool_params,
+    *, k: int, boolean: bool, interpret: bool,
+):
+    G, U8, _ = compact_t.shape
+    live_tiles = live.reshape(G, LANE)
+    from diagon_tpu.ops.pallas.gather_rescore import pallas_gather_rescore
+
+    if boolean:
+        scores, rc, oc, nc = pallas_gather_rescore(
+            compact_t, cidx, tsel, cflags, interpret=interpret
+        )
+    else:
+        scores = pallas_gather_rescore(
+            compact_t, cidx, tsel, interpret=interpret
+        )  # [Q, Bk, LANE]
+    return _pruned_batch_finish(
+        scores, rc if boolean else None, oc if boolean else None,
+        nc if boolean else None, bool_params, tsel, u_next, hits,
+        live_tiles, k=k, boolean=boolean,
+    )
+
+
 def row_score_topk_pruned_batch(
     compact_t,  # f32 [G, U8, LANE] batch-compact tile-major bank (exact)
     compact_bf16,  # bf16 [U8, D] approx copy (phase-1 matmul)
@@ -543,37 +627,21 @@ def row_score_topk_pruned_batch(
       bit-exact scores and counts.
     """
     G, U8, _ = compact_t.shape
-    D = G * LANE
     Bk = min(B, G)
-    live_tiles = live.reshape(G, LANE)
-
-    from diagon_tpu.ops.pallas.approx_pass import (
-        pallas_approx_select,
-        pallas_approx_select_bool,
+    tsel, u_next, hits = _pruned_batch_phase1(
+        compact_bf16, presence_bf16, a_sc_t, a_rq_t, a_sh_t, a_ng_t,
+        params_t, live, Bk=Bk, boolean=boolean, interpret=interpret,
     )
-    from diagon_tpu.ops.pallas.gather_rescore import pallas_gather_rescore
+    return _pruned_batch_phase2(
+        compact_t, cidx, cflags, live, tsel, u_next, hits, bool_params,
+        k=k, boolean=boolean, interpret=interpret,
+    )
 
-    if boolean:
-        tmax, hits = pallas_approx_select_bool(
-            a_sc_t, a_rq_t, a_sh_t, a_ng_t, compact_bf16, presence_bf16,
-            params_t, live, interpret=interpret,
-        )
-    else:
-        tmax, hits = pallas_approx_select(
-            a_sc_t, compact_bf16, live, interpret=interpret
-        )
-    tile_upper = tmax * (jnp.float32(1.0) + _APPROX_RELEPS)  # [Q, G]
 
-    tsel, u_next = _select_tiles(tile_upper, Bk, G)
-    if boolean:
-        scores, rc, oc, nc = pallas_gather_rescore(
-            compact_t, cidx, tsel, cflags, interpret=interpret
-        )
-    else:
-        scores = pallas_gather_rescore(
-            compact_t, cidx, tsel, interpret=interpret
-        )  # [Q, Bk, LANE]
-
+def _pruned_batch_finish(
+    scores, rc, oc, nc, bool_params, tsel, u_next, hits, live_tiles,
+    *, k: int, boolean: bool,
+):
     if boolean:
 
         def finish(scores_q, rc_q, oc_q, nc_q, params_q, tsel_q, u_next_q):
@@ -628,32 +696,35 @@ def row_score_topk_pruned_batch(
     )
 
 
-@partial(jax.jit, static_argnames=("H", "D", "F"))
-def _build_bank_device(
+@partial(jax.jit, static_argnames=("F",), donate_argnums=(0,))
+def _build_bank_chunk(
+    bank,  # f32 [H+1, D] carried bank (row H = dump row), donated
     packed,  # u32 [W] shared word stream
-    woff,  # i32 [NBh] word offset of each selected block
-    dbits,  # i32 [NBh]
-    fbits,  # i32 [NBh]
-    base,  # i32 [NBh] first docid
-    count,  # i32 [NBh]
-    rowid,  # i32 [NBh] target bank row of each block's term
-    idf,  # f32 [NBh] per-block term idf (the row scale)
+    woff,  # i32 [NBc] word offset of each selected block
+    dbits,  # i32 [NBc]
+    fbits,  # i32 [NBc]
+    base,  # i32 [NBc] first docid
+    count,  # i32 [NBc] (0 = padding block -> dump row)
+    rowid,  # i32 [NBc] target bank row of each block's term
+    idf,  # f32 [NBc] per-block term idf (the row scale)
     norms,  # i32 [D]
     lut,  # f32 [128*F] host-precomputed tf table
     *,
-    H: int,
-    D: int,
     F: int,
 ):
-    """Decode selected posting blocks and materialize dense score rows —
-    entirely on device (the host here has a single slow core; 10^8-posting
-    numpy decodes take minutes, the TPU does this in seconds).
+    """Decode one CHUNK of selected posting blocks into the carried dense
+    bank — entirely on device (the host here has a single slow core;
+    10^8-posting numpy decodes take minutes, the TPU does this in
+    seconds). Chunking bounds the scatter's [NBc, 128, 2] index tensor:
+    an unchunked build at 10M docs (~4M heavy blocks) asked XLA for a
+    >16 GB scatter temp and OOM'd.
 
     Bit-exactness: the LUT values are the host table verbatim and the one
     f32 multiply (idf * tf) is IEEE round-to-nearest — identical to the
     numpy scalar product the oracle computes. The scatter is .set with
     unique (row, doc) targets, so no accumulation-order concerns.
     """
+    H1 = bank.shape[0]
     NBh = woff.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (NBh, LANE), 1)
 
@@ -682,10 +753,32 @@ def _build_bank_device(
     docs = jnp.where(valid, docs, 0)
     tf = lut[norms[docs] * F + jnp.clip(freqs, 0, F - 1)]
     vals = idf[:, None] * tf
-    r = jnp.where(valid, rowid[:, None], H)  # invalid lanes -> dump row
-    bank = jnp.zeros((H + 1, D), jnp.float32)
-    bank = bank.at[r, docs].set(vals)
-    return bank[:H]
+    r = jnp.where(valid, rowid[:, None], H1 - 1)  # invalid -> dump row
+    D = bank.shape[1]
+    # 1-D flat scatter: a 2-D index tensor [NBc, 128, 2] gets the
+    # trailing dim padded 2 -> 128 by TPU tiling (64x expansion, OOM at
+    # 10M docs); the flat [NBc*128] i32 index tiles cleanly. Callers
+    # guarantee H1 * D < 2^31 by building in row groups.
+    assert H1 * D < 2**31, "bank group too large for flat i32 scatter"
+    flat = bank.reshape(H1 * D)
+    flat = flat.at[(r * D + docs).reshape(-1)].set(vals.reshape(-1))
+    return flat.reshape(H1, D)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _place_rows(final, sub, g0):
+    """Donated row-group write into the full bank (drops sub's trailing
+    dump row inside the jit so no host-side slice copy materializes)."""
+    return jax.lax.dynamic_update_slice(final, sub[:-1], (g0, 0))
+
+
+# blocks per _build_bank_chunk call. 2^16 bounds the chunk program's
+# scoped decode temps to ~0.7 GB: the 2^18 version's ~3 GB of temps
+# OOM'd the 10M-doc build next to its 6.5 GB bank.
+_BANK_BUILD_CHUNK = 1 << 16
+# flat scatter index limit (i32); patchable in tests to force the
+# row-grouped build path on small corpora
+_FLAT_SCATTER_MAX = 2**31
 
 
 class RowFieldIndex:
@@ -727,6 +820,9 @@ class RowFieldIndex:
         self.heavy_ub = None
         self.heavy_bits = None
 
+    # device bytes the dense heavy bank may occupy (top-df rows win)
+    BANK_BUDGET_BYTES = 6 << 30
+
     def host_row(self, tid: int, weight: np.float32) -> np.ndarray:
         """Dense f32 score row for one term: weight * tf_factor scattered
         onto the doc axis (numpy block decode — exact oracle arithmetic;
@@ -761,6 +857,16 @@ class RowFieldIndex:
                 HEAVY_MIN_DF, self.num_docs_pad // HEAVY_FRACTION
             )
             heavy = np.nonzero(df >= threshold)[0]
+            # HBM budget: the dense bank is 4*D bytes/row — at 10M docs
+            # the df>=D/16 set alone is ~209 rows = 8.4 GB. Keep the
+            # top-df rows under the budget; overflow terms stay on the
+            # (correct, slower) light-row path.
+            max_rows = max(
+                1, int(self.BANK_BUDGET_BYTES // (4 * self.num_docs_pad))
+            )
+            if len(heavy) > max_rows:
+                order = np.argsort(df[heavy], kind="stable")[::-1]
+                heavy = np.sort(heavy[order[:max_rows]])
         self.heavy_row_of_term = np.full(T, -1, dtype=np.int32)
         present = heavy >= 0  # -1 = globally-heavy term absent here
         if len(heavy) == 0 or not present.any():
@@ -793,21 +899,87 @@ class RowFieldIndex:
             dev = lambda x: jax.device_put(jnp.asarray(x), self.device)
             norms32 = np.zeros(self.num_docs_pad, dtype=np.int32)
             norms32[: len(self.norms)] = self.norms
-            self.heavy_bank = _build_bank_device(
-                dev(pp.packed.view(np.uint32)),
-                dev(pp.block_word_off[bsel].astype(np.int32)),
-                dev(pp.block_doc_bits[bsel].astype(np.int32)),
-                dev(pp.block_freq_bits[bsel].astype(np.int32)),
-                dev(pp.block_base[bsel].astype(np.int32)),
-                dev(pp.block_count[bsel].astype(np.int32)),
-                dev(rowid.astype(np.int32)),
-                dev(idf),
-                dev(norms32),
-                dev(self.tf_lut_host),
-                H=len(heavy),
-                D=self.num_docs_pad,
-                F=self.F,
-            )
+            H = len(heavy)
+            D = self.num_docs_pad
+            packed_dev = dev(pp.packed.view(np.uint32))
+            norms_dev = dev(norms32)
+            lut_dev = dev(self.tf_lut_host)
+            meta = {
+                "woff": pp.block_word_off[bsel].astype(np.int32),
+                "dbits": pp.block_doc_bits[bsel].astype(np.int32),
+                "fbits": pp.block_freq_bits[bsel].astype(np.int32),
+                "base": pp.block_base[bsel].astype(np.int32),
+                "count": pp.block_count[bsel].astype(np.int32),
+                "rowid": rowid.astype(np.int32),
+                "idf": idf,
+            }
+
+            def build_group(rows, meta_g):
+                """[rows+1, D] sub-bank (last row = dump) via chunked
+                flat scatters; rows+1 rows keep the flat i32 index
+                < 2^31."""
+                bank = jnp.zeros((rows + 1, D), jnp.float32)
+                if self.device is not None:
+                    bank = jax.device_put(bank, self.device)
+                nbg = len(meta_g["woff"])
+                CH = _BANK_BUILD_CHUNK
+                n_chunks = max(1, -(-nbg // CH))
+                npad = n_chunks * CH - nbg if nbg > CH else 0
+                if npad:
+                    meta_g = {
+                        kk: np.concatenate(
+                            [v, np.zeros(npad, dtype=v.dtype)]
+                        )
+                        for kk, v in meta_g.items()
+                    }
+                for ci in range(n_chunks):
+                    sl = slice(
+                        ci * CH,
+                        ci * CH + min(CH, len(meta_g["woff"])),
+                    )
+                    bank = _build_bank_chunk(
+                        bank,
+                        packed_dev,
+                        dev(meta_g["woff"][sl]),
+                        dev(meta_g["dbits"][sl]),
+                        dev(meta_g["fbits"][sl]),
+                        dev(meta_g["base"][sl]),
+                        dev(meta_g["count"][sl]),
+                        dev(meta_g["rowid"][sl]),
+                        dev(meta_g["idf"][sl]),
+                        norms_dev,
+                        lut_dev,
+                        F=self.F,
+                    )
+                return bank
+
+            if (H + 1) * D < _FLAT_SCATTER_MAX:
+                # keep the trailing dump row: bank[:H] would materialize
+                # a bank-sized copy at enqueue time (13 GB transient at
+                # 10M docs). Row H holds scatter junk; no hidx ever
+                # references it and padded/live masks exclude its docs.
+                self.heavy_bank = build_group(H, meta)
+            else:
+                # row-grouped build: sub-banks small enough for the flat
+                # scatter, placed into the full bank with donated
+                # dynamic_update_slice (rowid is sorted, so each group's
+                # blocks are one contiguous slice)
+                ROWG = max(1, min(64, (_FLAT_SCATTER_MAX // D) - 1))
+                final = jnp.zeros((H, D), jnp.float32)
+                if self.device is not None:
+                    final = jax.device_put(final, self.device)
+                rid = meta["rowid"]
+                for g0 in range(0, H, ROWG):
+                    rows = min(ROWG, H - g0)
+                    lo = int(np.searchsorted(rid, g0))
+                    hi = int(np.searchsorted(rid, g0 + rows))
+                    meta_g = {
+                        kk: v[lo:hi].copy() for kk, v in meta.items()
+                    }
+                    meta_g["rowid"] = meta_g["rowid"] - np.int32(g0)
+                    sub = build_group(rows, meta_g)
+                    final = _place_rows(final, sub, jnp.int32(g0))
+                self.heavy_bank = final
         if self.prunable:
             self.heavy_ub, self.heavy_bits = build_tile_aux(self.heavy_bank)
 
@@ -1074,7 +1246,11 @@ class RowExecutor:
         if (
             self.index.prunable
             and self.index.heavy_bank is not None
-            and (len(plans) >= self.approx_min_q or not pure_or)
+            and (
+                len(plans) >= self.approx_min_q
+                or not pure_or
+                or self.index.num_docs_pad >= self.batch_only_min_docs
+            )
         ):
             compact = self._build_compact(
                 hidx_arr, lidx, sc_arr, rq_arr, sh_arr, ng_arr,
@@ -1230,6 +1406,10 @@ class RowExecutor:
     # (the bank read amortizes across the batch); below it, per-clause
     # tile-UB rows are cheaper
     approx_min_q: int = 8
+    # segments at least this large ALWAYS use the batch path (see
+    # _dispatch_pruned: the small-batch kernel's bank reshape copy is
+    # fatal at 10M docs)
+    batch_only_min_docs: int = 4 << 20
 
     def _use_pruned(self, plans: Sequence[RowPlan]) -> bool:
         if not (
@@ -1258,7 +1438,14 @@ class RowExecutor:
         import jax as _jax
 
         interpret = _jax.default_backend() == "cpu"
-        batch_mode = len(plans) >= self.approx_min_q or not pure_or
+        # the tile-UB small-batch kernel reshapes the full heavy bank to
+        # [H*G, LANE], which forces a bank-sized relayout copy — fatal at
+        # 10M docs; huge segments always take the compact batch path
+        batch_mode = (
+            len(plans) >= self.approx_min_q
+            or not pure_or
+            or idx.num_docs_pad >= self.batch_only_min_docs
+        )
         if batch_mode:
             if compact is None or not self.use_pallas:
                 return None  # exhaustive fallback
@@ -1340,26 +1527,41 @@ class RowExecutor:
         hits = fused[:, 2 * k].astype(np.int32)
         unsafe = np.nonzero(fused[:, 2 * k + 1] == 0.0)[0]
         if len(unsafe):
-            sub = [plans[int(i)] for i in unsafe]
-            args = self._args(sub)
-            (heavy, light, live, hidx, lidx, *_rest) = args
-            import jax
+            # exhaustive escalation materializes [Qe, D] f32 score grids
+            # (40 MB/query at 10M docs) — chunk so an escalation burst
+            # can't OOM the device
+            D = self.index.num_docs_pad
+            esc_chunk = max(1, (512 << 20) // (4 * D))
+            for c0 in range(0, len(unsafe), esc_chunk):
+                grp = unsafe[c0 : c0 + esc_chunk]
+                sub = [plans[int(i)] for i in grp]
+                args = self._args(sub)
+                (heavy, light, live, hidx, lidx, *_rest) = args
+                import jax
 
-            if not all(p.pure_or for p in sub):
-                sub_fused = row_score_topk(*args, k=k)
-            elif self.use_pallas and heavy.shape[1] % 1024 == 0:
-                sub_fused = row_score_topk_pure_or_pallas(
-                    heavy, light, live, hidx, lidx, k=k,
-                    interpret=jax.default_backend() == "cpu",
-                )
-            else:
-                sub_fused = row_score_topk_pure_or(
-                    heavy, light, live, hidx, lidx, k=k
-                )
-            s2, d2, h2 = unfuse_topk(np.asarray(sub_fused), k)
-            scores[unsafe] = s2
-            docs[unsafe] = d2
-            hits[unsafe] = h2
+                huge = D >= self.batch_only_min_docs
+                if not all(p.pure_or for p in sub):
+                    sub_fused = row_score_topk(*args, k=k)
+                elif (
+                    self.use_pallas
+                    and heavy.shape[1] % 1024 == 0
+                    and not huge
+                ):
+                    sub_fused = row_score_topk_pure_or_pallas(
+                        heavy, light, live, hidx, lidx, k=k,
+                        interpret=jax.default_backend() == "cpu",
+                    )
+                else:
+                    # huge segments: the pallas row_sum escalation kernel
+                    # compiles a ~6 GB temp at 10M docs; the XLA scan
+                    # variant's footprint is just the [Qe, D] carry
+                    sub_fused = row_score_topk_pure_or(
+                        heavy, light, live, hidx, lidx, k=k
+                    )
+                s2, d2, h2 = unfuse_topk(np.asarray(sub_fused), k)
+                scores[grp] = s2
+                docs[grp] = d2
+                hits[grp] = h2
         return scores, docs, hits
 
     def top_k_batch(self, plans: Sequence[RowPlan], k: int):

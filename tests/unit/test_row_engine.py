@@ -149,3 +149,61 @@ def test_exact_topk_two_stage():
         ref_v, ref_d = reference(final, k)
         np.testing.assert_array_equal(np.asarray(vs), ref_v)
         np.testing.assert_array_equal(np.asarray(ds), ref_d)
+
+
+def test_chunked_bank_build_parity(monkeypatch):
+    """The heavy bank builds in bounded chunks (10M-doc segments OOM'd
+    the unchunked scatter). Force multi-chunk on a small corpus and
+    assert the bank equals the single-chunk build bit-for-bit."""
+    import numpy as np
+    from diagon_tpu.search import row_engine as re_mod
+    from diagon_tpu.search.searcher import IndexSearcher
+    from diagon_tpu.search.oracle import OracleSearcher
+    from diagon_tpu.search.query import TermQuery
+
+    seg = _corpus() if "_corpus" in globals() else None
+    if seg is None:
+        from diagon_tpu.document import Document, TextField
+        from diagon_tpu.index.memory_index import MemoryIndex
+        from diagon_tpu.index.segment import flush_memory_index
+
+        rng = np.random.Generator(np.random.PCG64(3))
+        words = [f"w{i}" for i in range(30)] + ["oil"]
+        mem = MemoryIndex()
+        for i in range(800):
+            toks = rng.choice(np.asarray(words, dtype=object), 25)
+            mem.add_document(
+                Document().add(TextField("body", " ".join(toks)))
+            )
+        seg = flush_memory_index(mem, "_cb")
+
+    def real_rows(searcher):
+        ridx = searcher._ctx("body").row_executors[0].index
+        H = int(ridx.heavy_row_of_term.max()) + 1
+        # the flat-scatter path keeps a trailing dump row of scatter
+        # junk; only the H real rows are contractual
+        return np.asarray(ridx.heavy_bank)[:H]
+
+    s1 = IndexSearcher([seg])
+    bank1 = real_rows(s1)
+
+    monkeypatch.setattr(re_mod, "_BANK_BUILD_CHUNK", 2)  # force many chunks
+    s2 = IndexSearcher([seg])
+    bank2 = real_rows(s2)
+    assert bank1.shape == bank2.shape and bank1.shape[0] > 0
+    np.testing.assert_array_equal(bank1, bank2)
+
+    # force the ROW-GROUPED build (10M-doc regime: (H+1)*D exceeds the
+    # flat i32 scatter limit) and assert the same bank bit-for-bit
+    D = bank1.shape[1]
+    monkeypatch.setattr(re_mod, "_FLAT_SCATTER_MAX", 3 * D)  # ROWG=2
+    s3 = IndexSearcher([seg])
+    bank3 = real_rows(s3)
+    np.testing.assert_array_equal(bank1, bank3)
+    monkeypatch.setattr(re_mod, "_FLAT_SCATTER_MAX", 2**31)
+
+    want = OracleSearcher([seg]).search(TermQuery("body", "oil"), 10)
+    got = s2.search(TermQuery("body", "oil"), 10)
+    assert got.doc_ids() == want.doc_ids()
+    for o, d in zip(want.score_docs, got.score_docs):
+        assert o.score == d.score
