@@ -41,6 +41,7 @@ def _force_pruned(searcher, field, b0, approx_min_q=None):
     for ex in ctx.row_executors:
         if ex is not None:
             ex.prune_min_docs = 0
+            ex.prune_solo_min_docs = 0
             ex.prune_B0 = b0
             if approx_min_q is not None:
                 ex.approx_min_q = approx_min_q
