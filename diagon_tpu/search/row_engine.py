@@ -806,6 +806,12 @@ def _build_bank_chunk(
     return flat.reshape(H1, D)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _set_bank_row(bank, row, r):
+    """Donated single-row write (host-materialized light rows)."""
+    return jax.lax.dynamic_update_slice(bank, row[None], (r, 0))
+
+
 @partial(jax.jit, donate_argnums=(0, 1))
 def _place_rows(final, sub, g0):
     """Donated row-group write into the full bank (drops sub's trailing
@@ -820,6 +826,58 @@ _BANK_BUILD_CHUNK = 1 << 16
 # flat scatter index limit (i32); patchable in tests to force the
 # row-grouped build path on small corpora
 _FLAT_SCATTER_MAX = 2**31
+
+
+def _scatter_bank_rows(bank, meta, packed_dev, norms_dev, lut_dev, F,
+                       device=None):
+    """Chunked flat-scatter of decoded posting blocks into ``bank``
+    ([rows+1, D], last row = scatter dump). meta arrays are per-block:
+    woff/dbits/fbits/base/count/rowid/idf (idf = the row scale — the
+    collection idf for heavy banks, the clause weight for device-built
+    light rows; one IEEE multiply either way, bit-equal to host_row)."""
+    import jax as _jax
+
+    def dev(x):
+        return _jax.device_put(jnp.asarray(x), device)
+
+    nbg = len(meta["woff"])
+    CH = _BANK_BUILD_CHUNK
+    n_chunks = max(1, -(-nbg // CH))
+    npad = n_chunks * CH - nbg if nbg > CH else 0
+    if npad:
+        meta = {
+            kk: np.concatenate([v, np.zeros(npad, dtype=v.dtype)])
+            for kk, v in meta.items()
+        }
+    for ci in range(n_chunks):
+        sl = slice(ci * CH, ci * CH + min(CH, len(meta["woff"])))
+        bank = _build_bank_chunk(
+            bank,
+            packed_dev,
+            dev(meta["woff"][sl]),
+            dev(meta["dbits"][sl]),
+            dev(meta["fbits"][sl]),
+            dev(meta["base"][sl]),
+            dev(meta["count"][sl]),
+            dev(meta["rowid"][sl]),
+            dev(meta["idf"][sl]),
+            norms_dev,
+            lut_dev,
+            F=F,
+        )
+    return bank
+
+
+def _block_meta(pp, bsel, rowid, scale):
+    return {
+        "woff": pp.block_word_off[bsel].astype(np.int32),
+        "dbits": pp.block_doc_bits[bsel].astype(np.int32),
+        "fbits": pp.block_freq_bits[bsel].astype(np.int32),
+        "base": pp.block_base[bsel].astype(np.int32),
+        "count": pp.block_count[bsel].astype(np.int32),
+        "rowid": rowid.astype(np.int32),
+        "idf": scale.astype(np.float32),
+    }
 
 
 class RowFieldIndex:
@@ -863,6 +921,23 @@ class RowFieldIndex:
 
     # device bytes the dense heavy bank may occupy (top-df rows win)
     BANK_BUDGET_BYTES = 6 << 30
+
+    def device_decode_state(self):
+        """(packed, norms, lut) device copies for on-device bank builds,
+        uploaded once and shared by the heavy-bank build and per-batch
+        light-row builds."""
+        st = getattr(self, "_decode_state", None)
+        if st is None:
+            dev = lambda x: jax.device_put(jnp.asarray(x), self.device)
+            norms32 = np.zeros(self.num_docs_pad, dtype=np.int32)
+            norms32[: len(self.norms)] = self.norms
+            st = (
+                dev(self.pp.packed.view(np.uint32)),
+                dev(norms32),
+                dev(self.tf_lut_host),
+            )
+            self._decode_state = st
+        return st
 
     def host_row(self, tid: int, weight: np.float32) -> np.ndarray:
         """Dense f32 score row for one term: weight * tf_factor scattered
@@ -935,23 +1010,10 @@ class RowFieldIndex:
                 ],
                 dtype=np.float32,
             )[rowid]
-            dev = lambda x: jax.device_put(jnp.asarray(x), self.device)
-            norms32 = np.zeros(self.num_docs_pad, dtype=np.int32)
-            norms32[: len(self.norms)] = self.norms
             H = len(heavy)
             D = self.num_docs_pad
-            packed_dev = dev(pp.packed.view(np.uint32))
-            norms_dev = dev(norms32)
-            lut_dev = dev(self.tf_lut_host)
-            meta = {
-                "woff": pp.block_word_off[bsel].astype(np.int32),
-                "dbits": pp.block_doc_bits[bsel].astype(np.int32),
-                "fbits": pp.block_freq_bits[bsel].astype(np.int32),
-                "base": pp.block_base[bsel].astype(np.int32),
-                "count": pp.block_count[bsel].astype(np.int32),
-                "rowid": rowid.astype(np.int32),
-                "idf": idf,
-            }
+            packed_dev, norms_dev, lut_dev = self.device_decode_state()
+            meta = _block_meta(pp, bsel, rowid, idf)
 
             def build_group(rows, meta_g):
                 """[rows+1, D] sub-bank (last row = dump) via chunked
@@ -960,37 +1022,10 @@ class RowFieldIndex:
                 bank = jnp.zeros((rows + 1, D), jnp.float32)
                 if self.device is not None:
                     bank = jax.device_put(bank, self.device)
-                nbg = len(meta_g["woff"])
-                CH = _BANK_BUILD_CHUNK
-                n_chunks = max(1, -(-nbg // CH))
-                npad = n_chunks * CH - nbg if nbg > CH else 0
-                if npad:
-                    meta_g = {
-                        kk: np.concatenate(
-                            [v, np.zeros(npad, dtype=v.dtype)]
-                        )
-                        for kk, v in meta_g.items()
-                    }
-                for ci in range(n_chunks):
-                    sl = slice(
-                        ci * CH,
-                        ci * CH + min(CH, len(meta_g["woff"])),
-                    )
-                    bank = _build_bank_chunk(
-                        bank,
-                        packed_dev,
-                        dev(meta_g["woff"][sl]),
-                        dev(meta_g["dbits"][sl]),
-                        dev(meta_g["fbits"][sl]),
-                        dev(meta_g["base"][sl]),
-                        dev(meta_g["count"][sl]),
-                        dev(meta_g["rowid"][sl]),
-                        dev(meta_g["idf"][sl]),
-                        norms_dev,
-                        lut_dev,
-                        F=self.F,
-                    )
-                return bank
+                return _scatter_bank_rows(
+                    bank, meta_g, packed_dev, norms_dev, lut_dev,
+                    self.F, self.device,
+                )
 
             if (H + 1) * D < _FLAT_SCATTER_MAX:
                 # keep the trailing dump row: bank[:H] would materialize
@@ -1147,7 +1182,12 @@ class CompactBatch:
 @dataclass
 class RowPlan:
     hidx: np.ndarray  # int32 [Tq_pad]
-    light_rows: np.ndarray  # f32 [n_light, D] host rows for this plan
+    # per-plan light entries, one per lidx slot: an np.ndarray is a
+    # host-materialized row (ranges/nested indicators); an (tid, weight)
+    # tuple is a term row the executor decodes ON DEVICE at stack time
+    # (shipping a [D] f32 row per clause through the tunnel was the
+    # sparse/light serving wall)
+    light_entries: list
     lidx: np.ndarray  # int32 [Tq_pad] (index into plan-local light rows +1;
     #                   0 = the shared zero row)
     scoring: np.ndarray  # bool [Tq_pad]
@@ -1183,7 +1223,7 @@ class RowExecutor:
         req = np.zeros(tq, dtype=np.float32)
         sho = np.zeros(tq, dtype=np.float32)
         neg = np.zeros(tq, dtype=np.float32)
-        light_rows: List[np.ndarray] = []
+        light_entries: list = []
         num_required = 0
 
         for i, tp in enumerate(term_plans):
@@ -1201,8 +1241,8 @@ class RowExecutor:
                 row[: len(tp.host_row)] = np.asarray(
                     tp.host_row, dtype=np.float32
                 )
-                light_rows.append(row)
-                lidx[i] = len(light_rows)
+                light_entries.append(row)
+                lidx[i] = len(light_entries)
                 continue
             hrow = (
                 idx.heavy_row_of_term[tp.term_id]
@@ -1221,13 +1261,8 @@ class RowExecutor:
                 hidx[i] = hrow
             else:
                 w = np.float32(tp.weight) if scoring[i] else np.float32(1.0)
-                light_rows.append(idx.host_row(tp.term_id, w))
-                lidx[i] = len(light_rows)  # +1 offset (0 = zero row)
-        rows = (
-            np.stack(light_rows)
-            if light_rows
-            else np.zeros((0, idx.num_docs_pad), np.float32)
-        )
+                light_entries.append((int(tp.term_id), w))
+                lidx[i] = len(light_entries)  # +1 offset (0 = zero row)
         # Pure-OR fast path requires every clause's row to satisfy
         # "row > 0 iff clause matches AND contributes score" — nested
         # subquery A/B pairs (score-only + presence-only rows) break that,
@@ -1241,9 +1276,58 @@ class RowExecutor:
             )
         )
         return RowPlan(
-            hidx, rows, lidx, scoring, req, sho, neg, num_required,
-            min_should, pure_or,
+            hidx, light_entries, lidx, scoring, req, sho, neg,
+            num_required, min_should, pure_or,
         )
+
+    def _build_light_bank(self, total, specs, host_rows):
+        """Assemble the batch light bank. Term specs decode ON DEVICE
+        (chunked flat scatter from the resident packed stream — a few KB
+        of block metadata instead of a 4*D-byte row per clause through
+        the tunnel); host-materialized rows (range/nested indicators)
+        upload individually. Falls back to full host assembly when the
+        flat scatter cannot index the bank (huge D * many rows)."""
+        idx = self.index
+        D = idx.num_docs_pad
+        nrows = _bucket(total + 1, minimum=1)
+        if specs and (nrows + 1) * D < _FLAT_SCATTER_MAX:
+            import jax as _jax
+
+            packed_dev, norms_dev, lut_dev = idx.device_decode_state()
+            pp = idx.pp
+            bank = jnp.zeros((nrows + 1, D), jnp.float32)  # last = dump
+            if idx.device is not None:
+                bank = _jax.device_put(bank, idx.device)
+            bs, rid, sc = [], [], []
+            for r, tid, w in specs:
+                b0 = int(pp.block_start[tid])
+                b1 = int(pp.block_start[tid + 1])
+                if b1 > b0:
+                    bs.append(np.arange(b0, b1, dtype=np.int64))
+                    rid.append(np.full(b1 - b0, r, np.int32))
+                    sc.append(np.full(b1 - b0, np.float32(w), np.float32))
+            if bs:
+                meta = _block_meta(
+                    pp,
+                    np.concatenate(bs),
+                    np.concatenate(rid),
+                    np.concatenate(sc),
+                )
+                bank = _scatter_bank_rows(
+                    bank, meta, packed_dev, norms_dev, lut_dev,
+                    idx.F, idx.device,
+                )
+            for r, arr in host_rows:
+                bank = _set_bank_row(
+                    bank, jnp.asarray(arr), jnp.int32(r)
+                )
+            return bank
+        bank = np.zeros((nrows, D), dtype=np.float32)
+        for r, tid, w in specs:
+            bank[r] = idx.host_row(tid, w)
+        for r, arr in host_rows:
+            bank[r] = arr
+        return jnp.asarray(bank)
 
     def _stack(self, plans: Sequence[RowPlan]):
         # clause-count bucket: every scan step costs [Q, *] traffic, so use
@@ -1257,21 +1341,26 @@ class RowExecutor:
                 out[i, : len(v)] = v
             return out
 
-        # light bank: stack per-plan host rows; remap per-plan lidx
-        total = sum(len(p.light_rows) for p in plans)
-        nrows = _bucket(total + 1, minimum=1)
-        bank = np.zeros((nrows, self.index.num_docs_pad), dtype=np.float32)
+        # light bank: per-plan entries remapped into one bank; term rows
+        # ((tid, weight) specs) decode ON DEVICE from the packed stream,
+        # host-materialized rows (ranges/nested indicators) upload
+        total = sum(len(p.light_entries) for p in plans)
         lidx = pad(lambda p: p.lidx, np.int32)
+        specs = []  # (bank_row, tid, weight)
+        host_rows = []  # (bank_row, np row)
         off = 1
         for qi, p in enumerate(plans):
-            nr = len(p.light_rows)
+            nr = len(p.light_entries)
             if nr:
-                bank[off : off + nr] = p.light_rows
                 row = lidx[qi]
                 row[row > 0] += off - 1
+                for j, e in enumerate(p.light_entries):
+                    if isinstance(e, tuple):
+                        specs.append((off + j, e[0], e[1]))
+                    else:
+                        host_rows.append((off + j, e))
             off += nr
-
-        light_bank = jnp.asarray(bank)
+        light_bank = self._build_light_bank(total, specs, host_rows)
         light_aux = (
             build_tile_aux(light_bank) if self.index.prunable else (None, None)
         )
