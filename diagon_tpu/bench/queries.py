@@ -102,3 +102,76 @@ REFERENCE_REUTERS_HITS = {
     "phrase:stock market": 167,
     "phrase:federal reserve bank": 25,
 }
+
+
+def frequent_terms(searcher, field: str = "body", n: int = 160):
+    """Top-n terms of ``field`` by document frequency across the
+    searcher's segments — the vocabulary pool for mixed-query batches
+    (corpus-agnostic: works for the synthetic corpus and real Reuters)."""
+    import numpy as np
+
+    df: Dict[str, int] = {}
+    for seg in searcher._host_segments():
+        fd = seg.fields.get(field)
+        if fd is None:
+            continue
+        pp = fd.postings
+        for tid in np.argsort(pp.doc_freq)[::-1][: 4 * n]:
+            t = pp.terms[int(tid)]
+            df[t] = df.get(t, 0) + int(pp.doc_freq[int(tid)])
+    return [t for t, _ in sorted(df.items(), key=lambda kv: -kv[1])[:n]]
+
+
+def mixed_query_batch(pool, n: int = 1024, seed: int = 42):
+    """``n`` structurally DISTINCT queries sampled across the reference
+    benchmark's term/OR/AND/boolean families (reuters_benchmark.cpp:193-268
+    runs fixed per-family query tables; a serving batch mixes them), drawn
+    from a frequent-term vocabulary ``pool``. The batch exercises the
+    batch-compact pruned path with a realistic (non-homogeneous) clause-row
+    vocabulary instead of 1024 copies of one query."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    pool = list(pool)
+    out = []
+    seen = set()
+    families = (
+        [("term", 1)] * 10
+        + [("and", 2)] * 10
+        + [("or", 2)] * 15
+        + [("or", 5)] * 20
+        + [("or", 10)] * 20
+        + [("or", 20)] * 15
+        + [("bool", 3)] * 10
+    )
+    tries = 0
+    while len(out) < n and tries < 50 * n:
+        tries += 1
+        fam, width = families[int(rng.integers(len(families)))]
+        terms = [
+            pool[i]
+            for i in rng.choice(len(pool), min(width, len(pool)),
+                                replace=False)
+        ]
+        key = (fam, tuple(terms))
+        if key in seen:
+            continue
+        seen.add(key)
+        if fam == "term":
+            out.append(TermQuery("body", terms[0]))
+        elif fam == "and":
+            out.append(_and_query(terms))
+        elif fam == "or":
+            out.append(_or_query(terms))
+        else:  # bool: MUST head + SHOULD tail
+            b = BooleanQuery.Builder()
+            b.add(TermQuery("body", terms[0]), Occur.MUST)
+            for t in terms[1:]:
+                b.add(TermQuery("body", t), Occur.SHOULD)
+            out.append(b.build())
+    if len(out) < n:  # tiny pools: pad with wide ORs (still distinct w.h.p.)
+        while len(out) < n:
+            k = min(len(pool), 20)
+            terms = [pool[i] for i in rng.choice(len(pool), k, replace=False)]
+            out.append(_or_query(terms))
+    return out

@@ -26,9 +26,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _chunk_for(D: int, cap: int) -> int:
-    for c in (cap, cap // 2, cap // 4, 1024):
-        if D % c == 0 and c <= cap:
+    c = cap
+    while c >= 128:
+        if D % c == 0:
             return c
+        c //= 2
+    if D % 1024 == 0:
+        return 1024
     raise ValueError(f"D={D} must be a multiple of 1024")
 
 
@@ -165,7 +169,10 @@ def pallas_approx_select_bool(
     """(feasibility-gated tile_max f32 [Q, S], exact hits i32 [Q])."""
     U8, Q = a_sc_t.shape
     _, D = bank.shape
-    chunk = _chunk_for(D, 1024)  # 4 [Q, CH] f32 intermediates live in VMEM
+    # 4 [CH, Q] f32 products (+ masks) live in VMEM at once: scale the
+    # chunk down with Q so large batches stay under the ~16 MB/core budget
+    # (CH * Q * 4 B * 4 products <= ~1 MB -> CH <= 2^18 / Q)
+    chunk = _chunk_for(D, max(256, min(1024, (1 << 18) // max(Q, 1))))
     S = D // 128
     ng = chunk // 128
     n = D // chunk

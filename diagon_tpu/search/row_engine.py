@@ -500,8 +500,9 @@ def row_score_topk_pruned_or(
 _APPROX_RELEPS = np.float32(2.0 ** -7)
 
 
-def _select_tiles(tile_upper, Bk: int, G: int):
-    """Batch tile selection: (tsel int32 [Q, Bk] ascending, u_next [Q]).
+def _select_tiles(tile_upper, Bk: int, G: int, deterministic: bool = False):
+    """Batch tile selection: (tsel int32 [Q, Bk] ascending, u_next [Q],
+    min_unsel_feas int32 [Q]).
 
     Selection uses ``approx_max_k`` (measured ~2x faster than exact
     ``top_k`` at [1024, 7813]); exactness does NOT depend on selection
@@ -509,14 +510,32 @@ def _select_tiles(tile_upper, Bk: int, G: int):
     unselected tiles (membership-mask + masked max — no scatter, see
     CLAUDE.md): ``theta > u_next`` still proves every true top-k doc
     lives in a selected tile, and a miss merely escalates that query to
-    the exhaustive kernel. u_next = -inf when every tile is selected."""
+    the exhaustive kernel. u_next = -inf when every tile is selected.
+
+    ``deterministic`` switches to exact ``top_k`` (ties break toward the
+    LOWER tile index == lower docid) — the boolean path uses it so that
+    zero-upper-bound feasible tiles (score-0 matches, e.g. FILTER-only
+    queries) are selected in docid order, which its tie certificate
+    (_pruned_batch_finish) relies on to avoid mass escalation.
+
+    ``min_unsel_feas`` is the smallest UNSELECTED tile index whose upper
+    bound is >= 0 (G when none): on the boolean path tile_upper >= 0
+    marks feasible tiles (infeasible carry -1*(1+eps)), so it bounds the
+    lowest docid any unselected match can have."""
     Q = tile_upper.shape[0]
     if Bk >= G:
         tsel = jnp.broadcast_to(
             jnp.arange(G, dtype=jnp.int32)[None], (Q, G)
         )
-        return tsel, jnp.full((Q,), -jnp.inf, jnp.float32)
-    _, idx = jax.lax.approx_max_k(tile_upper, Bk, recall_target=0.99)
+        return (
+            tsel,
+            jnp.full((Q,), -jnp.inf, jnp.float32),
+            jnp.full((Q,), G, jnp.int32),
+        )
+    if deterministic:
+        _, idx = jax.lax.top_k(tile_upper, Bk)  # ties -> lower tile index
+    else:
+        _, idx = jax.lax.approx_max_k(tile_upper, Bk, recall_target=0.99)
     tsel = jnp.sort(idx.astype(jnp.int32), axis=1)  # docid-order rank stage
     # mask the selected tiles out with a Q*Bk-element scatter (tiny;
     # a [Q, Bk, G] membership broadcast materialized 2.5 GB at 10M docs)
@@ -524,7 +543,11 @@ def _select_tiles(tile_upper, Bk: int, G: int):
         jnp.arange(Q, dtype=jnp.int32)[:, None], tsel
     ].set(-jnp.inf)
     u_next = jnp.max(masked, axis=1)
-    return tsel, u_next
+    gidx = jax.lax.broadcasted_iota(jnp.int32, masked.shape, 1)
+    min_unsel_feas = jnp.min(
+        jnp.where(masked >= 0, gidx, jnp.int32(G)), axis=1
+    )
+    return tsel, u_next, min_unsel_feas
 
 
 @partial(jax.jit, static_argnames=("Bk", "boolean", "interpret"))
@@ -555,14 +578,16 @@ def _pruned_batch_phase1(
             a_sc_t, compact_bf16, live, interpret=interpret
         )
     tile_upper = tmax * (jnp.float32(1.0) + _APPROX_RELEPS)  # [Q, G]
-    tsel, u_next = _select_tiles(tile_upper, Bk, G)
-    return tsel, u_next, hits
+    tsel, u_next, min_unsel = _select_tiles(
+        tile_upper, Bk, G, deterministic=boolean
+    )
+    return tsel, u_next, min_unsel, hits
 
 
 @partial(jax.jit, static_argnames=("k", "boolean", "interpret"))
 def _pruned_batch_phase2(
-    compact_t, cidx, cflags, live, tsel, u_next, hits, bool_params,
-    *, k: int, boolean: bool, interpret: bool,
+    compact_t, cidx, cflags, live, tsel, u_next, min_unsel, hits,
+    bool_params, *, k: int, boolean: bool, interpret: bool,
 ):
     G, U8, _ = compact_t.shape
     live_tiles = live.reshape(G, LANE)
@@ -578,8 +603,8 @@ def _pruned_batch_phase2(
         )  # [Q, Bk, LANE]
     return _pruned_batch_finish(
         scores, rc if boolean else None, oc if boolean else None,
-        nc if boolean else None, bool_params, tsel, u_next, hits,
-        live_tiles, k=k, boolean=boolean,
+        nc if boolean else None, bool_params, tsel, u_next, min_unsel,
+        hits, live_tiles, k=k, boolean=boolean,
     )
 
 
@@ -628,23 +653,24 @@ def row_score_topk_pruned_batch(
     """
     G, U8, _ = compact_t.shape
     Bk = min(B, G)
-    tsel, u_next, hits = _pruned_batch_phase1(
+    tsel, u_next, min_unsel, hits = _pruned_batch_phase1(
         compact_bf16, presence_bf16, a_sc_t, a_rq_t, a_sh_t, a_ng_t,
         params_t, live, Bk=Bk, boolean=boolean, interpret=interpret,
     )
     return _pruned_batch_phase2(
-        compact_t, cidx, cflags, live, tsel, u_next, hits, bool_params,
-        k=k, boolean=boolean, interpret=interpret,
+        compact_t, cidx, cflags, live, tsel, u_next, min_unsel, hits,
+        bool_params, k=k, boolean=boolean, interpret=interpret,
     )
 
 
 def _pruned_batch_finish(
-    scores, rc, oc, nc, bool_params, tsel, u_next, hits, live_tiles,
-    *, k: int, boolean: bool,
+    scores, rc, oc, nc, bool_params, tsel, u_next, min_unsel, hits,
+    live_tiles, *, k: int, boolean: bool,
 ):
     if boolean:
 
-        def finish(scores_q, rc_q, oc_q, nc_q, params_q, tsel_q, u_next_q):
+        def finish(scores_q, rc_q, oc_q, nc_q, params_q, tsel_q, u_next_q,
+                   min_unsel_q):
             lv = live_tiles[tsel_q]
             mask = (
                 (rc_q == params_q[0])
@@ -658,15 +684,42 @@ def _pruned_batch_finish(
                 final, tsel_q, k
             )
             theta = top_scores[k - 1]
+            # Boolean certificate. Unlike pure-OR, a boolean match may
+            # carry score 0 (FILTER-only / non-scoring clauses), so an
+            # unselected FEASIBLE tile with upper bound 0 can still hold
+            # true top-k docs — u_next <= 0 proves nothing here. Safe iff:
+            #  (a) theta > u_next: strict dominance (any unselected match
+            #      scores <= u_next < theta);
+            #  (b) u_next < 0: every unselected tile is infeasible
+            #      (feasible tiles carry upper bound >= 0, infeasible
+            #      -1*(1+eps)), so no unselected matches exist at all; or
+            #  (c) the zero-tie case: theta == 0, u_next == 0, and the
+            #      k-th candidate's tile precedes every unselected
+            #      feasible tile. All unselected matches then score
+            #      exactly 0 with docids >= min_unsel*128 > docid_k, so
+            #      (score desc, docid asc) ranks them below the k-th
+            #      candidate — and below every shallower zero-score
+            #      candidate too (those have docid < docid_k by the sort).
+            #      Deterministic lower-index tile selection
+            #      (_select_tiles deterministic=True) makes this the
+            #      common outcome for score-0 queries instead of a
+            #      certificate failure.
+            tile_k = top_docs[k - 1] // LANE
             safe = (
-                (theta > u_next_q) | (u_next_q <= 0)
+                (theta > u_next_q)
+                | (u_next_q < 0)
+                | (
+                    (theta == 0)
+                    & (u_next_q == 0)
+                    & (tile_k < min_unsel_q)
+                )
             ).astype(jnp.float32)[None]
             return jnp.concatenate(
                 [top_scores, top_docs.astype(jnp.float32), safe]
             )
 
         fused = jax.vmap(finish)(
-            scores, rc, oc, nc, bool_params, tsel, u_next
+            scores, rc, oc, nc, bool_params, tsel, u_next, min_unsel
         )
     else:
 
@@ -1209,6 +1262,38 @@ class RowExecutor:
         # banks dominate; see BATCH_CACHE_BUDGET)
         self._batch_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._batch_bytes = 0
+        self._part_cache: dict = {}
+        # pruning observability (the reference instruments WAND with
+        # per-query counters, WANDScorer.h:99-141); silent perf cliffs —
+        # certificate escalations, compact-bank fallbacks — show up here
+        from diagon_tpu.observability.metrics import registry
+
+        self.metrics = {
+            "pruned": registry.counter(
+                "search.pruned_dispatches",
+                "query batches scored via the pruned (block-max) path",
+            ),
+            "exhaustive": registry.counter(
+                "search.exhaustive_dispatches",
+                "query batches scored exhaustively",
+            ),
+            "escalations": registry.counter(
+                "search.escalations",
+                "queries re-run exhaustively after a certificate failure",
+            ),
+            "compact_fallbacks": registry.counter(
+                "search.compact_fallbacks",
+                "batches that could not build a compact bank",
+            ),
+            "partitions": registry.counter(
+                "search.compact_partitions",
+                "batches partitioned into vocabulary groups",
+            ),
+            "tiles": registry.counter(
+                "search.tiles_rescored",
+                "(query, tile) pairs rescored by the pruned phase 2",
+            ),
+        }
 
     def build_plan(self, term_plans, min_should: int,
                    idf_of_tid) -> RowPlan:
@@ -1341,25 +1426,37 @@ class RowExecutor:
                 out[i, : len(v)] = v
             return out
 
-        # light bank: per-plan entries remapped into one bank; term rows
-        # ((tid, weight) specs) decode ON DEVICE from the packed stream,
-        # host-materialized rows (ranges/nested indicators) upload
-        total = sum(len(p.light_entries) for p in plans)
+        # light bank: per-plan entries remapped into one bank, DEDUPED
+        # across the batch ((tid, weight) term rows and identical host
+        # rows shared — a 1024-query mixed batch over a common vocabulary
+        # collapses from ~Q*Tq rows to its unique vocabulary). Term rows
+        # decode ON DEVICE from the packed stream; host-materialized rows
+        # (ranges/nested indicators) upload.
         lidx = pad(lambda p: p.lidx, np.int32)
         specs = []  # (bank_row, tid, weight)
         host_rows = []  # (bank_row, np row)
-        off = 1
+        row_of: dict = {}  # entry key -> shared bank row (1-based)
         for qi, p in enumerate(plans):
-            nr = len(p.light_entries)
-            if nr:
-                row = lidx[qi]
-                row[row > 0] += off - 1
-                for j, e in enumerate(p.light_entries):
+            if not p.light_entries:
+                continue
+            remap = np.zeros(len(p.light_entries) + 1, dtype=np.int32)
+            for j, e in enumerate(p.light_entries):
+                key = (
+                    ("t", int(e[0]), float(e[1]))
+                    if isinstance(e, tuple)
+                    else ("h", id(e))
+                )
+                r = row_of.get(key)
+                if r is None:
+                    r = len(row_of) + 1
+                    row_of[key] = r
                     if isinstance(e, tuple):
-                        specs.append((off + j, e[0], e[1]))
+                        specs.append((r, e[0], e[1]))
                     else:
-                        host_rows.append((off + j, e))
-            off += nr
+                        host_rows.append((r, e))
+                remap[j + 1] = r
+            lidx[qi] = remap[lidx[qi]]
+        total = len(row_of)
         light_bank = self._build_light_bank(total, specs, host_rows)
         light_aux = (
             build_tile_aux(light_bank) if self.index.prunable else (None, None)
@@ -1400,8 +1497,59 @@ class RowExecutor:
         )
 
     # batch-compact banks beyond this many rows would overflow the rescore
-    # kernel's VMEM slab ring; such batches fall back to exhaustive scoring
+    # kernel's VMEM slab ring; larger batches are PARTITIONED into
+    # contiguous query groups under the cap (see _partition_plans) and only
+    # fall back to exhaustive scoring when a single query alone exceeds it
     COMPACT_MAX_ROWS = 512
+    # device bytes a group's banks may occupy (light f32 + tile-major f32 +
+    # bf16 ~ 10 bytes/doc/row); shrinks the per-group row cap on huge
+    # segments so partitioned diverse batches can't OOM the bank builds
+    COMPACT_GROUP_BYTES = 2 << 30
+
+    def _compact_row_cap(self) -> int:
+        D = self.index.num_docs_pad
+        return min(self.COMPACT_MAX_ROWS,
+                   max(32, self.COMPACT_GROUP_BYTES // (10 * D)))
+
+    @staticmethod
+    def _plan_row_keys(p: "RowPlan") -> set:
+        keys = {int(h) for h in p.hidx if h >= 0}
+        for e in p.light_entries:
+            keys.add(
+                ("t", int(e[0]), float(e[1]))
+                if isinstance(e, tuple)
+                else ("h", id(e))
+            )
+        return keys
+
+    def _partition_plans(self, plans: Sequence[RowPlan]):
+        """Contiguous query groups whose DEDUPED clause-row vocabulary each
+        fits the compact cap; None when the whole batch fits (common case).
+        A plan that alone exceeds the cap gets its own group (its group
+        then takes the exhaustive fallback)."""
+        cap = self._compact_row_cap()
+        per_plan = [self._plan_row_keys(p) for p in plans]
+        # the cap must admit the largest single plan, or a homogeneous
+        # batch of wide queries would shatter into per-query groups that
+        # STILL cannot build a compact bank (the hard VMEM row limit,
+        # COMPACT_MAX_ROWS, is enforced separately by _build_compact)
+        cap = max(cap, max(len(ks) for ks in per_plan) + 1)
+        all_keys = set().union(*per_plan) if per_plan else set()
+        if len(all_keys) + 1 <= cap:
+            return None
+        groups = []
+        cur: set = set()
+        start = 0
+        for i, keys in enumerate(per_plan):
+            merged = cur | keys
+            if cur and len(merged) + 1 > cap:
+                groups.append((start, i))
+                start = i
+                cur = set(keys)
+            else:
+                cur = merged
+        groups.append((start, len(plans)))
+        return groups
 
     def _build_compact(self, hidx_arr, lidx, sc_arr, rq_arr, sh_arr,
                        ng_arr, light_bank, n_light, plans, pure_or):
@@ -1588,6 +1736,7 @@ class RowExecutor:
         if batch_mode:
             if compact is None or not self.use_pallas:
                 return None  # exhaustive fallback
+            self.metrics["tiles"].increment(len(plans) * B)
             return row_score_topk_pruned_batch(
                 compact.compact_t,
                 compact.compact_bf16,
@@ -1630,28 +1779,85 @@ class RowExecutor:
         )
 
     def dispatch(self, plans: Sequence[RowPlan], k: int):
-        import jax
-
         if self._use_pruned(plans):
+            groups = self._cached_partition(plans)
+            if groups is not None:
+                self.metrics["partitions"].increment()
+                outs = []
+                for a, b in groups:
+                    f = self.dispatch(list(plans[a:b]), k)
+                    if f.shape[-1] == 2 * k + 1:
+                        # exhaustive group: exact by construction — append
+                        # a safe=1 column so the fused layouts concatenate
+                        f = jnp.concatenate(
+                            [f, jnp.ones((f.shape[0], 1), f.dtype)],
+                            axis=1,
+                        )
+                    outs.append(f)
+                return jnp.concatenate(outs)
             fused = self._dispatch_pruned(plans, k)
             if fused is not None:
+                self.metrics["pruned"].increment()
                 return fused
+            self.metrics["compact_fallbacks"].increment()
+        self.metrics["exhaustive"].increment()
+        return self._exhaustive_chunked(plans, k)
+
+    def _cached_partition(self, plans: Sequence[RowPlan]):
+        """Partition decision for a batch, cached by plan identity (the
+        per-plan key-set union is Python-side work on the dispatch hot
+        path). Only batch-mode pruned dispatches partition — the
+        small-batch tile-UB path reads full banks anyway."""
+        if len(plans) < 2:
+            return None
+        ck = tuple(id(p) for p in plans)
+        hit = self._part_cache.get(ck)
+        if hit is not None:
+            return hit[1]
+        groups = self._partition_plans(plans)
+        if len(self._part_cache) > 256:
+            self._part_cache.clear()
+        self._part_cache[ck] = (list(plans), groups)  # pin plan ids
+        return groups
+
+    def _exhaustive_fused(self, plans: Sequence[RowPlan], k: int):
+        """One exhaustive kernel launch for a (chunk of a) batch, with the
+        'huge segment' guard finalize() uses: the pallas row_sum variant
+        compiles a ~6 GB temp at 10M docs, so huge segments take the XLA
+        scan whose footprint is just the [Q, D] carry."""
+        import jax
+
         args = self._args(plans)
-        if all(p.pure_or for p in plans):
-            (heavy, light, live, hidx, lidx, *_rest) = args
-            if self.use_pallas and heavy.shape[1] % 1024 == 0:
-                return row_score_topk_pure_or_pallas(
-                    heavy, light, live, hidx, lidx, k=k,
-                    interpret=jax.default_backend() == "cpu",
+        (heavy, light, live, hidx, lidx, *_rest) = args
+        huge = self.index.num_docs_pad >= self.batch_only_min_docs
+        if not all(p.pure_or for p in plans):
+            if self.use_pallas and heavy.shape[1] % 1024 == 0 and not huge:
+                return row_score_topk_pallas(
+                    *args, k=k, interpret=jax.default_backend() == "cpu"
                 )
-            return row_score_topk_pure_or(
-                heavy, light, live, hidx, lidx, k=k
+            return row_score_topk(*args, k=k)
+        if self.use_pallas and heavy.shape[1] % 1024 == 0 and not huge:
+            return row_score_topk_pure_or_pallas(
+                heavy, light, live, hidx, lidx, k=k,
+                interpret=jax.default_backend() == "cpu",
             )
-        if self.use_pallas and args[0].shape[1] % 1024 == 0:
-            return row_score_topk_pallas(
-                *args, k=k, interpret=jax.default_backend() == "cpu"
+        return row_score_topk_pure_or(heavy, light, live, hidx, lidx, k=k)
+
+    def _exhaustive_chunked(self, plans: Sequence[RowPlan], k: int):
+        """Exhaustive scoring with query chunking: an unchunked scan
+        carries [Q, D] f32 grids (x4 for booleans) — ~40 GB at Q=1024 on
+        a 10M-doc segment. Chunks bound the carry to ~512 MB."""
+        D = self.index.num_docs_pad
+        per_q = 4 * D * (4 if not all(p.pure_or for p in plans) else 1)
+        chunk = max(1, (512 << 20) // per_q)
+        if len(plans) <= chunk:
+            return self._exhaustive_fused(plans, k)
+        outs = []
+        for c0 in range(0, len(plans), chunk):
+            outs.append(
+                self._exhaustive_fused(list(plans[c0 : c0 + chunk]), k)
             )
-        return row_score_topk(*args, k=k)
+        return jnp.concatenate(outs)
 
     def finalize(self, plans: Sequence[RowPlan], fused, k: int):
         """Decode a dispatch() result; escalate pruned queries whose
@@ -1666,6 +1872,7 @@ class RowExecutor:
         hits = fused[:, 2 * k].astype(np.int32)
         unsafe = np.nonzero(fused[:, 2 * k + 1] == 0.0)[0]
         if len(unsafe):
+            self.metrics["escalations"].increment(len(unsafe))
             # exhaustive escalation materializes [Qe, D] f32 score grids
             # (40 MB/query at 10M docs) — chunk so an escalation burst
             # can't OOM the device
@@ -1674,29 +1881,7 @@ class RowExecutor:
             for c0 in range(0, len(unsafe), esc_chunk):
                 grp = unsafe[c0 : c0 + esc_chunk]
                 sub = [plans[int(i)] for i in grp]
-                args = self._args(sub)
-                (heavy, light, live, hidx, lidx, *_rest) = args
-                import jax
-
-                huge = D >= self.batch_only_min_docs
-                if not all(p.pure_or for p in sub):
-                    sub_fused = row_score_topk(*args, k=k)
-                elif (
-                    self.use_pallas
-                    and heavy.shape[1] % 1024 == 0
-                    and not huge
-                ):
-                    sub_fused = row_score_topk_pure_or_pallas(
-                        heavy, light, live, hidx, lidx, k=k,
-                        interpret=jax.default_backend() == "cpu",
-                    )
-                else:
-                    # huge segments: the pallas row_sum escalation kernel
-                    # compiles a ~6 GB temp at 10M docs; the XLA scan
-                    # variant's footprint is just the [Qe, D] carry
-                    sub_fused = row_score_topk_pure_or(
-                        heavy, light, live, hidx, lidx, k=k
-                    )
+                sub_fused = self._exhaustive_fused(sub, k)
                 s2, d2, h2 = unfuse_topk(np.asarray(sub_fused), k)
                 scores[grp] = s2
                 docs[grp] = d2

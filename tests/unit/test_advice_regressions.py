@@ -229,3 +229,150 @@ def test_exact_topk_k_exceeds_tile_count():
     order = np.lexsort((np.arange(D), -scores))[:k]
     np.testing.assert_array_equal(docs, order)
     np.testing.assert_array_equal(vals, scores[order])
+
+
+# ---------------------------------------------------------------------------
+# Round-2 ADVICE findings
+# ---------------------------------------------------------------------------
+# 6. Boolean pruned-batch certificate must escalate (or be provably exact)
+#    for zero-score matches: FILTER-only / min_should=0 queries have
+#    feasible tiles with tile_upper == 0, and the old 'u_next <= 0' clause
+#    certified selection misses as safe (wrong docids, no escalation).
+def _bool_corpus(n_docs=1100, seed=7):
+    from diagon_tpu.index.memory_index import MemoryIndex
+    from diagon_tpu.index.segment import flush_memory_index
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    words = np.asarray([f"w{i}" for i in range(40)], dtype=object)
+    mem = MemoryIndex()
+    for i in range(n_docs):
+        toks = list(rng.choice(words, max(3, int(rng.normal(14, 5)))))
+        if i % 3 == 0:
+            toks.append("filt")  # ~1/3 of docs across ALL tiles
+        if i % 211 == 0:
+            toks.append("rarehit")
+        mem.add_document(_doc(" ".join(toks)))
+    return flush_memory_index(mem, "_advf")
+
+
+def _force_pruned(searcher, field, b0, approx_min_q=1):
+    ctx = searcher._ctx(field)
+    for ex in ctx.row_executors:
+        if ex is not None:
+            ex.prune_min_docs = 0
+            ex.prune_solo_min_docs = 0
+            ex.prune_B0 = b0
+            ex.approx_min_q = approx_min_q
+    return ctx
+
+
+@pytest.mark.parametrize("b0", [2, 4])
+def test_filter_only_pruned_batch_parity(b0):
+    from diagon_tpu.search.query import BooleanQuery, Occur
+    from diagon_tpu.search.searcher import IndexSearcher
+
+    seg = _bool_corpus()
+    searcher = IndexSearcher([seg])
+    _force_pruned(searcher, "body", b0)
+    oracle = OracleSearcher([seg])
+
+    def filt_only(term):
+        b = BooleanQuery.Builder()
+        b.add(TermQuery("body", term), Occur.FILTER)
+        return b.build()
+
+    def filt_should(ft, st):
+        b = BooleanQuery.Builder()
+        b.add(TermQuery("body", ft), Occur.FILTER)
+        b.add(TermQuery("body", st), Occur.SHOULD)
+        return b.build()
+
+    queries = [
+        filt_only("filt"),  # hundreds of score-0 matches, > B0 tiles
+        filt_only("rarehit"),
+        filt_should("filt", "rarehit"),  # mixed: a few scored, most 0
+        filt_only("w1"),
+    ]
+    got = searcher.search_batch(queries, 10)
+    for q, g in zip(queries, got):
+        want = oracle.search(q, 10)
+        assert [sd.doc for sd in g.score_docs] == [
+            sd.doc for sd in want.score_docs
+        ], q
+        assert g.total_hits == want.total_hits
+        for o, d in zip(want.score_docs, g.score_docs):
+            assert o.score == d.score
+
+
+# 7. dispatch() fallback for un-compactable batches must stay chunked and
+#    partition by vocabulary instead of falling back wholesale.
+def test_compact_partition_parity():
+    from diagon_tpu.observability.metrics import registry
+    from diagon_tpu.search.query import BooleanQuery, Occur
+    from diagon_tpu.search.searcher import IndexSearcher
+
+    seg = _bool_corpus(n_docs=900, seed=13)
+    searcher = IndexSearcher([seg])
+    ctx = _force_pruned(searcher, "body", 4)
+    for ex in ctx.row_executors:
+        if ex is not None:
+            # tiny vocabulary cap: any multi-query batch over > 8 unique
+            # rows must partition into groups rather than fall back
+            ex.COMPACT_MAX_ROWS = 8
+            ex.COMPACT_GROUP_BYTES = 8 * 10 * ex.index.num_docs_pad
+
+    def or_q(terms):
+        b = BooleanQuery.Builder()
+        for t in terms:
+            b.add(TermQuery("body", t), Occur.SHOULD)
+        return b.build()
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    queries = [
+        or_q(list(rng.choice([f"w{i}" for i in range(40)], 5, replace=False)))
+        for _ in range(24)
+    ]
+    before = registry.counter("search.compact_partitions").value()
+    got = searcher.search_batch(queries, 10)
+    assert registry.counter("search.compact_partitions").value() > before
+    oracle = OracleSearcher([seg])
+    for q, g in zip(queries, got):
+        want = oracle.search(q, 10)
+        assert [sd.doc for sd in g.score_docs] == [
+            sd.doc for sd in want.score_docs
+        ], q
+        assert g.total_hits == want.total_hits
+        for o, d in zip(want.score_docs, g.score_docs):
+            assert o.score == d.score
+
+
+# 8. A single plan whose vocabulary alone exceeds the compact cap must take
+#    the (chunked) exhaustive fallback and stay bit-exact.
+def test_single_oversized_plan_exhaustive_fallback():
+    from diagon_tpu.search.query import BooleanQuery, Occur
+    from diagon_tpu.search.searcher import IndexSearcher
+
+    seg = _bool_corpus(n_docs=700, seed=29)
+    searcher = IndexSearcher([seg])
+    ctx = _force_pruned(searcher, "body", 4)
+    for ex in ctx.row_executors:
+        if ex is not None:
+            ex.COMPACT_MAX_ROWS = 4  # or-10 plan alone exceeds this
+            ex.COMPACT_GROUP_BYTES = 4 * 10 * ex.index.num_docs_pad
+
+    def or_q(terms):
+        b = BooleanQuery.Builder()
+        for t in terms:
+            b.add(TermQuery("body", t), Occur.SHOULD)
+        return b.build()
+
+    queries = [or_q([f"w{i}" for i in range(10)]) for _ in range(3)] + [
+        or_q([f"w{i}" for i in range(10, 20)])
+    ]
+    got = searcher.search_batch(queries, 10)
+    oracle = OracleSearcher([seg])
+    for q, g in zip(queries, got):
+        want = oracle.search(q, 10)
+        assert [sd.doc for sd in g.score_docs] == [
+            sd.doc for sd in want.score_docs
+        ], q
