@@ -25,15 +25,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 def _chunk_for(D: int, cap: int) -> int:
-    c = cap
-    while c >= 128:
+    """Largest legal doc-chunk <= cap. The live mask rides as [ng, 128]
+    blocks of an [S, 128] array, and Mosaic requires the sublane block
+    dim to be 1 or a multiple of 8 (ng = 2..7 fails to lower), so the
+    chunk is 128 or a multiple of 1024 that divides D."""
+    c = (cap // 1024) * 1024
+    while c >= 1024:
         if D % c == 0:
             return c
-        c //= 2
-    if D % 1024 == 0:
-        return 1024
-    raise ValueError(f"D={D} must be a multiple of 1024")
+        c -= 1024
+    if D % 128 == 0:
+        return 128
+    raise ValueError(f"D={D} must be a multiple of 128")
 
 
 def _dot_ct(b, a_t):
@@ -77,8 +85,16 @@ def _kernel_bool(
     """General-boolean phase 1: approx score + EXACT per-doc clause
     presence counts (0/1 products accumulate exactly in f32), reduced to
     feasibility-gated tile maxima and exact hit counts. params rows:
-    0 = num_required, 1 = min_should."""
-    c = pl.program_id(0)
+    0 = num_required, 1 = min_should.
+
+    Grid is (query-blocks, doc-chunks) with the doc axis INNER so the
+    accumulating hits block stays VMEM-resident across consecutive
+    steps (outputs revisited non-consecutively are not preserved);
+    four [CH, QB] f32 products + masks live in VMEM at once, so QB
+    keeps them under the ~16 MB/core budget at any batch size. The
+    bank is re-read once per query block — the price of exact
+    accumulation; QB=256 keeps that at <= ceil(Q/256) bank reads."""
+    c = pl.program_id(1)
     ap = _dot_ct(bank_ref[...], asc_ref[...])  # [CH, Q]
     rc = _dot_ct(pres_ref[...], arq_ref[...])
     oc = _dot_ct(pres_ref[...], ash_ref[...])
@@ -124,7 +140,9 @@ def pallas_approx_select(
     """(tile_max f32 [Q, S], hits i32 [Q]) with S = D/128 — pure-OR."""
     U8, Q = a_t.shape
     _, D = bank.shape
-    chunk = _chunk_for(D, 4096)
+    # one [CH, Q] f32 product (+ masks) in VMEM: cap CH so it stays
+    # well under the ~16 MB/core budget at large Q
+    chunk = _chunk_for(D, max(1024, min(4096, (1 << 21) // max(Q, 1))))
     S = D // 128
     ng = chunk // 128
     n = D // chunk
@@ -169,41 +187,49 @@ def pallas_approx_select_bool(
     """(feasibility-gated tile_max f32 [Q, S], exact hits i32 [Q])."""
     U8, Q = a_sc_t.shape
     _, D = bank.shape
-    # 4 [CH, Q] f32 products (+ masks) live in VMEM at once: scale the
-    # chunk down with Q so large batches stay under the ~16 MB/core budget
-    # (CH * Q * 4 B * 4 products <= ~1 MB -> CH <= 2^18 / Q)
-    chunk = _chunk_for(D, max(256, min(1024, (1 << 18) // max(Q, 1))))
+    # query block: 4 [CH, QB] f32 products + masks in VMEM at once
+    # (QB=256, CH=1024 -> 4 MB of products); pad Q up to a QB multiple
+    # (padded queries have all-zero indicator columns -> no matches)
+    QB = min(128 if Q <= 128 else 256, _round_up(Q, 128))
+    Qp = _round_up(Q, QB)
+    if Qp != Q:
+        pad = lambda a: jnp.pad(a, ((0, 0), (0, Qp - Q)))
+        a_sc_t, a_rq_t, a_sh_t, a_ng_t, params_t = (
+            pad(a_sc_t), pad(a_rq_t), pad(a_sh_t), pad(a_ng_t),
+            pad(params_t),
+        )
+    chunk = _chunk_for(D, 1024)
     S = D // 128
     ng = chunk // 128
     n = D // chunk
     live2 = live.reshape(S, 128)
 
-    amap = lambda c: (0, 0)
-    bmap = lambda c: (0, c)
+    amap = lambda qb, c: (0, qb)
+    bmap = lambda qb, c: (0, c)
     tmax_t, hits = pl.pallas_call(
         _kernel_bool,
-        grid=(n,),
+        grid=(Qp // QB, n),
         in_specs=[
-            pl.BlockSpec((U8, Q), amap),
-            pl.BlockSpec((U8, Q), amap),
-            pl.BlockSpec((U8, Q), amap),
-            pl.BlockSpec((U8, Q), amap),
+            pl.BlockSpec((U8, QB), amap),
+            pl.BlockSpec((U8, QB), amap),
+            pl.BlockSpec((U8, QB), amap),
+            pl.BlockSpec((U8, QB), amap),
             pl.BlockSpec((U8, chunk), bmap),
             pl.BlockSpec((U8, chunk), bmap),
-            pl.BlockSpec((8, Q), amap),
-            pl.BlockSpec((ng, 128), lambda c: (c, 0)),
+            pl.BlockSpec((8, QB), amap),
+            pl.BlockSpec((ng, 128), lambda qb, c: (c, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((ng, Q), lambda c: (c, 0)),
-            pl.BlockSpec((8, Q), lambda c: (0, 0)),
+            pl.BlockSpec((ng, QB), lambda qb, c: (c, qb)),
+            pl.BlockSpec((8, QB), lambda qb, c: (0, qb)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((S, Q), jnp.float32),
-            jax.ShapeDtypeStruct((8, Q), jnp.int32),
+            jax.ShapeDtypeStruct((S, Qp), jnp.float32),
+            jax.ShapeDtypeStruct((8, Qp), jnp.int32),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
     )(a_sc_t, a_rq_t, a_sh_t, a_ng_t, bank, presence, params_t, live2)
-    return tmax_t.T, hits[0]
+    return tmax_t[:, :Q].T, hits[0, :Q]
