@@ -1,18 +1,30 @@
-"""Device columnar scan/filter/aggregate kernels.
+"""Device columnar scan/filter/aggregate kernels with REAL granule skipping.
 
 The TPU form of the reference's 3-level granule evaluation
-(``benchmarks/columnar/ColumnarStore.h``: SKIP / BULK / decompress+scan):
-columns live in HBM as ``[G, granule_rows]`` tiles; a range predicate first
-evaluates against the dense per-granule minmax arrays (the SKIP level —
-one vectorized compare over ``[G]``), then surviving granules evaluate
-row-level predicates and aggregate on the VPU. Everything is one fused
-XLA program per (predicate shape, aggregate set).
+(``benchmarks/columnar/ColumnarStore.h:1-47``: SKIP / BULK / decompress+scan):
 
-Precision: device evaluation is float32 (x64 is disabled on TPU), so
-numeric predicates and sums are exact for integer magnitudes < 2**24;
-larger domains should use the host scan path (``ColumnarTable`` columns
-are exact int64/float64 numpy). A hi/lo int64 Pallas kernel is the
-planned upgrade for full 64-bit range predicates on device.
+- **SKIP that saves HBM traffic**: a range predicate first evaluates against
+  the dense per-granule minmax arrays ([G] compares), surviving granule ids
+  compact on device into a fixed ``cap`` of slots, and the row-level scan
+  GATHERS only those granule tiles — a query touching 1% of granules reads
+  ~1% of the column. When more than ``cap`` granules survive, a
+  ``lax.cond`` escalates to the full-table scan inside the same fused
+  program (no host round-trip, certificate-style: pruned results are used
+  only when provably complete).
+- **Exact int64 predicates**: integer columns ride as three 16-bit i32
+  planes (offset-encoded, so any int64 column whose value RANGE fits 48
+  bits — in practice all ClickBench columns — compares exactly via
+  lexicographic plane comparison; the old engine was f32-only, exact only
+  below 2**24). Counts accumulate in i32 (exact to 2**31 rows). min/max
+  of int columns resolve exactly by three-stage lexicographic reduction.
+- Sums: int sums accumulate per-granule in i32 (exact) and combine in f32
+  (exact when the table-total fits 2**24; documented f32 rounding beyond —
+  the host ``ColumnarTable`` scan stays the exact-int64 oracle). Float
+  columns ride as one f32 plane; their sums are f32, as on any TPU path.
+
+Dispatch/collect split: ``range_agg`` is one fused program returning one
+packed device vector, so a serving loop can chain queries without a
+device->host readback between them (the bench's device-time methodology).
 """
 
 from __future__ import annotations
@@ -26,51 +38,215 @@ import numpy as np
 
 from diagon_tpu.columnar.table import ColumnarTable
 
+_PLANE = 16  # bits per integer plane
+_PMASK = (1 << _PLANE) - 1
 
 
-@partial(jax.jit, static_argnames=("with_group", "num_groups"))
+def _int_planes(values: np.ndarray, offset: int) -> np.ndarray:
+    """[3, n] i32 planes of (values - offset); exact for 48-bit ranges."""
+    u = (values.astype(np.int64) - np.int64(offset)).astype(np.uint64)
+    return np.stack(
+        [
+            (u & _PMASK).astype(np.int32),
+            ((u >> _PLANE) & _PMASK).astype(np.int32),
+            ((u >> (2 * _PLANE)) & _PMASK).astype(np.int32),
+        ]
+    )
+
+
+def _bound_planes(bound: int) -> np.ndarray:
+    u = np.uint64(bound)
+    return np.asarray(
+        [
+            np.int32(u & np.uint64(_PMASK)),
+            np.int32((u >> np.uint64(_PLANE)) & np.uint64(_PMASK)),
+            np.int32((u >> np.uint64(2 * _PLANE)) & np.uint64(_PMASK)),
+        ],
+        np.int32,
+    )
+
+
+def _lex_ge(p0, p1, p2, b):
+    """value(p2,p1,p0) >= value(b[2],b[1],b[0]), exact lexicographic."""
+    return (
+        (p2 > b[2])
+        | ((p2 == b[2]) & ((p1 > b[1]) | ((p1 == b[1]) & (p0 >= b[0]))))
+    )
+
+
+def _lex_le(p0, p1, p2, b):
+    return (
+        (p2 < b[2])
+        | ((p2 == b[2]) & ((p1 < b[1]) | ((p1 == b[1]) & (p0 <= b[0]))))
+    )
+
+
+def _cnt2(cnt):
+    """i32 count as two exact-f32 16-bit lanes (a raw f32 cast rounds
+    counts above 2**24)."""
+    return (
+        (cnt & _PMASK).astype(jnp.float32),
+        ((cnt >> _PLANE) & _PMASK).astype(jnp.float32),
+    )
+
+
+def _agg_block(rmask, agg_planes, agg_is_int):
+    """Packed aggregate vector over one set of tiles.
+
+    Returns [cnt_lo, cnt_hi, sum, min, max] with int aggregates exact:
+    counts and per-granule int sums accumulate in i32; min/max of int
+    columns resolve by 3-stage lexicographic reduction (each stage a
+    masked min/max)."""
+    if agg_is_int:
+        a0, a1, a2 = agg_planes
+        cnt = jnp.sum(rmask.astype(jnp.int32))
+        # per-granule i32 partial sums are exact (<= 8192 * 2^16 < 2^31);
+        # cross-granule combine in f32
+        g_s0 = jnp.sum(jnp.where(rmask, a0, 0), axis=1)
+        g_s1 = jnp.sum(jnp.where(rmask, a1, 0), axis=1)
+        g_s2 = jnp.sum(jnp.where(rmask, a2, 0), axis=1)
+        s = (
+            jnp.sum(g_s0.astype(jnp.float32))
+            + jnp.sum(g_s1.astype(jnp.float32)) * float(1 << _PLANE)
+            + jnp.sum(g_s2.astype(jnp.float32)) * float(1 << (2 * _PLANE))
+        )
+        big = jnp.int32(_PMASK + 1)
+        # lexicographic min: high plane first, then break ties downward
+        m2 = jnp.min(jnp.where(rmask, a2, big))
+        t1 = rmask & (a2 == m2)
+        m1 = jnp.min(jnp.where(t1, a1, big))
+        t0 = t1 & (a1 == m1)
+        m0 = jnp.min(jnp.where(t0, a0, big))
+        mn = (
+            m0.astype(jnp.float32)
+            + m1.astype(jnp.float32) * float(1 << _PLANE)
+            + m2.astype(jnp.float32) * float(1 << (2 * _PLANE))
+        )
+        x2 = jnp.max(jnp.where(rmask, a2, -1))
+        u1 = rmask & (a2 == x2)
+        x1 = jnp.max(jnp.where(u1, a1, -1))
+        u0 = u1 & (a1 == x1)
+        x0 = jnp.max(jnp.where(u0, a0, -1))
+        mx = (
+            x0.astype(jnp.float32)
+            + x1.astype(jnp.float32) * float(1 << _PLANE)
+            + x2.astype(jnp.float32) * float(1 << (2 * _PLANE))
+        )
+        c_lo, c_hi = _cnt2(cnt)
+        return jnp.stack([c_lo, c_hi, s, mn, mx])
+    av = agg_planes[0]
+    cnt = jnp.sum(rmask.astype(jnp.int32))
+    s = jnp.sum(jnp.where(rmask, av, 0.0))
+    mn = jnp.min(jnp.where(rmask, av, jnp.inf))
+    mx = jnp.max(jnp.where(rmask, av, -jnp.inf))
+    c_lo, c_hi = _cnt2(cnt)
+    return jnp.stack([c_lo, c_hi, s, mn, mx])
+
+
+def _row_mask(valid, filt_planes, filt_is_int, blo, bhi):
+    if filt_is_int:
+        f0, f1, f2 = filt_planes
+        return valid & _lex_ge(f0, f1, f2, blo) & _lex_le(f0, f1, f2, bhi)
+    fv = filt_planes[0]
+    return valid & (fv >= blo[0]) & (fv <= bhi[0])
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cap", "filt_is_int", "agg_is_int", "with_group",
+                     "num_groups"),
+)
 def _range_agg_kernel(
-    filt,  # f32/i64-as-f64 [G, R] filter column tiled by granule
-    aggv,  # f64 [G, R] aggregate column
-    valid,  # bool [G, R] row validity (tail padding)
-    gmin,  # [G] per-granule min of filt
-    gmax,  # [G] per-granule max of filt
-    bounds,  # f64 [2]: lower, upper (+-inf for open)
-    groups=None,  # i32 [G, R] group ids (optional)
+    filt_planes,  # tuple of [G, R] planes (3 i32 if int, 1 f32 if float)
+    agg_planes,
+    valid,  # bool [G, R]
+    gmin,  # [3] or [1] planes x [G]: per-granule min of filt
+    gmax,
+    blo,  # [3] i32 planes / [1] f32: lower bound
+    bhi,
+    groups=None,  # i32 [G, R]
     *,
+    cap: int,
+    filt_is_int: bool,
+    agg_is_int: bool,
     with_group: bool = False,
     num_groups: int = 0,
 ):
-    lower, upper = bounds[0], bounds[1]
-    gmask = (gmax >= lower) & (gmin <= upper)  # SKIP level
-    rmask = valid & (filt >= lower) & (filt <= upper) & gmask[:, None]
+    G = valid.shape[0]
+    if filt_is_int:
+        sk_lo = _lex_ge(gmax[0], gmax[1], gmax[2], blo)  # granule max >= lo
+        sk_hi = _lex_le(gmin[0], gmin[1], gmin[2], bhi)  # granule min <= hi
+    else:
+        sk_lo = gmax[0] >= blo[0]
+        sk_hi = gmin[0] <= bhi[0]
+    gmask = sk_lo & sk_hi  # SKIP level: [G]
+    nsel = jnp.sum(gmask.astype(jnp.int32))
 
-    cnt = jnp.sum(rmask).astype(jnp.float32)
-    s = jnp.sum(jnp.where(rmask, aggv, 0.0))
-    mn = jnp.min(jnp.where(rmask, aggv, jnp.inf))
-    mx = jnp.max(jnp.where(rmask, aggv, -jnp.inf))
-    granules_scanned = jnp.sum(gmask.astype(jnp.int32)).astype(jnp.float32)
+    def full(_):
+        rmask = _row_mask(valid, filt_planes, filt_is_int, blo, bhi)
+        rmask = rmask & gmask[:, None]
+        out = _agg_block(rmask, agg_planes, agg_is_int)
+        if with_group:
+            return out, _group_block(rmask, groups, agg_planes, agg_is_int,
+                                     num_groups)
+        return out
 
+    def pruned(_):
+        # compact surviving granule ids into cap slots (stable order)
+        ar = jnp.arange(G, dtype=jnp.int32)
+        keys = jnp.where(gmask, ar, G + ar)
+        sel = jnp.argsort(keys)[:cap]
+        slot_ok = jnp.arange(cap, dtype=jnp.int32) < nsel
+        fp = tuple(p[sel] for p in filt_planes)  # gather: only cap tiles read
+        ap = tuple(p[sel] for p in agg_planes)
+        v = valid[sel] & slot_ok[:, None]
+        rmask = _row_mask(v, fp, filt_is_int, blo, bhi)
+        out = _agg_block(rmask, ap, agg_is_int)
+        if with_group:
+            return out, _group_block(rmask, groups[sel], ap, agg_is_int,
+                                     num_groups)
+        return out
+
+    res = jax.lax.cond(nsel <= cap, pruned, full, None)
+    scanned = jnp.minimum(nsel, jnp.int32(G)).astype(jnp.float32)
     if with_group:
-        gidx = jnp.where(rmask, groups, num_groups).reshape(-1)
-        gcnt = (
-            jnp.zeros(num_groups + 1, jnp.float32)
-            .at[gidx]
-            .add(1.0, mode="drop")[:num_groups]
+        fused, grp = res
+        return jnp.concatenate([fused, scanned[None]]), grp
+    return jnp.concatenate([res, scanned[None]])
+
+
+def _group_block(rmask, groups, agg_planes, agg_is_int, num_groups):
+    gidx = jnp.where(rmask, groups, num_groups).reshape(-1)
+    if agg_is_int:
+        av = (
+            agg_planes[0].astype(jnp.float32)
+            + agg_planes[1].astype(jnp.float32) * float(1 << _PLANE)
+            + agg_planes[2].astype(jnp.float32) * float(1 << (2 * _PLANE))
         )
-        gsum = (
-            jnp.zeros(num_groups + 1, jnp.float32)
-            .at[gidx]
-            .add(jnp.where(rmask, aggv, 0.0).reshape(-1).astype(jnp.float32),
-                 mode="drop")[:num_groups]
-        )
-        return jnp.stack([cnt, s, mn, mx, granules_scanned]), gcnt, gsum
-    # single fused output -> one device->host readback
-    return jnp.stack([cnt, s, mn, mx, granules_scanned])
+    else:
+        av = agg_planes[0]
+    gcnt = (
+        jnp.zeros(num_groups + 1, jnp.float32)
+        .at[gidx]
+        .add(1.0, mode="drop")[:num_groups]
+    )
+    gsum = (
+        jnp.zeros(num_groups + 1, jnp.float32)
+        .at[gidx]
+        .add(jnp.where(rmask, av, 0.0).reshape(-1), mode="drop")[:num_groups]
+    )
+    return gcnt, gsum
 
 
 class DeviceTable:
-    """A ColumnarTable resident on device, tiled [G, granule_rows]."""
+    """A ColumnarTable resident on device, tiled [G, granule_rows].
+
+    Integer columns are offset-encoded 16-bit i32 planes (exact 48-bit
+    range predicates + aggregates); float columns are one f32 plane."""
+
+    #: granule-selection slots for the pruned scan; queries surviving in
+    #: more granules than this escalate to the full scan inside the kernel
+    PRUNE_CAP_FRACTION = 8
 
     def __init__(self, table: ColumnarTable, device=None):
         self.table = table
@@ -79,33 +255,132 @@ class DeviceTable:
         G = table.num_granules
         self.num_granules = G
         R = self.granule_rows
+        self.cap = min(max(1, G), max(8, G // self.PRUNE_CAP_FRACTION))
 
-        self.columns: Dict[str, jnp.ndarray] = {}
-        self.minmax: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+        dev = lambda x: jax.device_put(jnp.asarray(x), device)
+        self.planes: Dict[str, Tuple] = {}
+        self.is_int: Dict[str, bool] = {}
+        self.offsets: Dict[str, int] = {}
+        self.minmax: Dict[str, Tuple] = {}
         valid = np.zeros((G, R), dtype=bool)
-        flat_valid = valid.reshape(-1)
-        flat_valid[: self.num_rows] = True
-        self.valid = jax.device_put(jnp.asarray(valid), device)
+        valid.reshape(-1)[: self.num_rows] = True
+        self.valid = dev(valid)
 
         for name, col in table.columns.items():
             if not hasattr(col, "values"):
                 continue  # strings are host-side (bloom prune + host scan)
-            vals = np.zeros(G * R, dtype=np.float32)
-            vals[: self.num_rows] = col.values.astype(np.float32)
-            self.columns[name] = jax.device_put(
-                jnp.asarray(vals.reshape(G, R)), device
-            )
+            vals = col.values
+            if np.issubdtype(vals.dtype, np.integer):
+                off = int(vals.min()) if len(vals) else 0
+                span = (int(vals.max()) - off) if len(vals) else 0
+                if span < (1 << 48):
+                    pl = np.zeros((3, G * R), np.int32)
+                    pl[:, : self.num_rows] = _int_planes(vals, off)
+                    self.planes[name] = tuple(
+                        dev(p.reshape(G, R)) for p in pl
+                    )
+                    self.is_int[name] = True
+                    self.offsets[name] = off
+                    mm = table.minmax.get(name)
+                    if mm is not None:
+                        self.minmax[name] = (
+                            tuple(dev(p) for p in _int_planes(mm.mins, off)),
+                            tuple(dev(p) for p in _int_planes(mm.maxs, off)),
+                        )
+                    continue
+            flat = np.zeros(G * R, dtype=np.float32)
+            flat[: self.num_rows] = vals.astype(np.float32)
+            self.planes[name] = (dev(flat.reshape(G, R)),)
+            self.is_int[name] = False
+            self.offsets[name] = 0
             mm = table.minmax.get(name)
             if mm is not None:
                 self.minmax[name] = (
-                    jax.device_put(jnp.asarray(mm.mins.astype(np.float32)), device),
-                    jax.device_put(jnp.asarray(mm.maxs.astype(np.float32)), device),
+                    (dev(mm.mins.astype(np.float32)),),
+                    (dev(mm.maxs.astype(np.float32)),),
                 )
 
-    def _bounds(self, lower, upper):
+    # -- bounds ----------------------------------------------------------
+    def _bounds(self, name, lower, upper):
+        if self.is_int[name]:
+            off = self.offsets[name]
+            span = (1 << 48) - 1
+            lo = 0 if lower is None else max(0, int(lower) - off)
+            hi = span if upper is None else min(span, int(upper) - off)
+            if (upper is not None and int(upper) < off) or lo > span:
+                # empty range (below every value / above the 48-bit span):
+                # encode as lo > hi via planes (1, 0)
+                return _bound_planes(1), _bound_planes(0)
+            return _bound_planes(lo), _bound_planes(hi)
         lo = -np.inf if lower is None else float(lower)
         hi = np.inf if upper is None else float(upper)
-        return jnp.asarray([lo, hi], dtype=jnp.float32)
+        return (
+            jnp.asarray([lo], jnp.float32),
+            jnp.asarray([hi], jnp.float32),
+        )
+
+    def _mm(self, name):
+        mm = self.minmax.get(name)
+        if mm is not None:
+            return mm
+        pl = self.planes[name]
+        if self.is_int[name]:
+            # derive from planes (value order == lex order); fall back to
+            # per-granule reduction of the reconstructed f32 (approx) is
+            # wrong for 48-bit — so reduce exactly on host once and cache
+            vals = self.table.columns[name].values
+            from diagon_tpu.columnar.table import MinMaxIndex
+
+            mm_h = MinMaxIndex.build(vals, self.granule_rows)
+            off = self.offsets[name]
+            dev = jnp.asarray
+            mm = (
+                tuple(dev(p) for p in _int_planes(mm_h.mins, off)),
+                tuple(dev(p) for p in _int_planes(mm_h.maxs, off)),
+            )
+        else:
+            v = pl[0]
+            mm = (
+                (jnp.min(jnp.where(self.valid, v, jnp.inf), axis=1),),
+                (jnp.max(jnp.where(self.valid, v, -jnp.inf), axis=1),),
+            )
+        self.minmax[name] = mm
+        return mm
+
+    # -- queries ---------------------------------------------------------
+    def dispatch_range_agg(self, filter_col, lower=None, upper=None,
+                           agg_col: Optional[str] = None):
+        """Enqueue; returns a device vector [count, sum, min, max,
+        granules_scanned] — no host sync (chainable)."""
+        filt = self.planes[filter_col]
+        agg = self.planes[agg_col] if agg_col else filt
+        gmin, gmax = self._mm(filter_col)
+        blo, bhi = self._bounds(filter_col, lower, upper)
+        return _range_agg_kernel(
+            filt, agg, self.valid, gmin, gmax, blo, bhi,
+            cap=self.cap,
+            filt_is_int=self.is_int[filter_col],
+            agg_is_int=self.is_int[agg_col] if agg_col else
+            self.is_int[filter_col],
+        )
+
+    def _decode(self, fused, agg_col):
+        cnt = int(fused[0]) + (int(fused[1]) << _PLANE)
+        is_int = bool(self.is_int.get(agg_col, False))
+        off = self.offsets.get(agg_col, 0) if is_int else 0
+
+        def val(x):
+            return float(x) + off
+
+        return {
+            "count": cnt,
+            "sum": float(fused[2]) + off * cnt,
+            "min": val(fused[3]) if cnt else None,
+            "max": val(fused[4]) if cnt else None,
+            "avg": (float(fused[2]) / cnt + off) if cnt else None,
+            "granules_scanned": int(fused[5]),
+            "granules_total": self.num_granules,
+        }
 
     def range_agg(
         self,
@@ -115,30 +390,11 @@ class DeviceTable:
         agg_col: Optional[str] = None,
     ) -> Dict[str, float]:
         """count/sum/min/max/avg of ``agg_col`` over rows where
-        ``filter_col`` in [lower, upper]."""
-        filt = self.columns[filter_col]
-        aggv = self.columns[agg_col] if agg_col else filt
-        mm = self.minmax.get(filter_col)
-        if mm is None:
-            gmin = jnp.min(jnp.where(self.valid, filt, jnp.inf), axis=1)
-            gmax = jnp.max(jnp.where(self.valid, filt, -jnp.inf), axis=1)
-        else:
-            gmin, gmax = mm
+        ``filter_col`` in [lower, upper] (one readback)."""
         fused = np.asarray(
-            _range_agg_kernel(
-                filt, aggv, self.valid, gmin, gmax, self._bounds(lower, upper)
-            )
-        )  # one device->host readback
-        cnt = int(fused[0])
-        return {
-            "count": cnt,
-            "sum": float(fused[1]),
-            "min": float(fused[2]) if cnt else None,
-            "max": float(fused[3]) if cnt else None,
-            "avg": float(fused[1]) / cnt if cnt else None,
-            "granules_scanned": int(fused[4]),
-            "granules_total": self.num_granules,
-        }
+            self.dispatch_range_agg(filter_col, lower, upper, agg_col)
+        )
+        return self._decode(fused, agg_col or filter_col)
 
     def range_group_agg(
         self,
@@ -150,30 +406,33 @@ class DeviceTable:
         agg_col: Optional[str] = None,
     ):
         """Per-group count/sum for a small-cardinality int group column."""
-        filt = self.columns[filter_col]
-        aggv = self.columns[agg_col] if agg_col else filt
-        groups = self.columns[group_col].astype(jnp.int32)
-        mm = self.minmax.get(filter_col)
-        if mm is None:
-            gmin = jnp.min(jnp.where(self.valid, filt, jnp.inf), axis=1)
-            gmax = jnp.max(jnp.where(self.valid, filt, -jnp.inf), axis=1)
-        else:
-            gmin, gmax = mm
-        fused, gcnt, gsum = _range_agg_kernel(
-            filt,
-            aggv,
-            self.valid,
-            gmin,
-            gmax,
-            self._bounds(lower, upper),
-            groups,
+        filt = self.planes[filter_col]
+        agg = self.planes[agg_col] if agg_col else filt
+        groups = self.planes[group_col][0]
+        if self.is_int[group_col]:
+            goff = self.offsets[group_col]
+            if goff:
+                groups = groups + jnp.int32(goff)  # low plane = value
+        gmin, gmax = self._mm(filter_col)
+        blo, bhi = self._bounds(filter_col, lower, upper)
+        fused, (gcnt, gsum) = _range_agg_kernel(
+            filt, agg, self.valid, gmin, gmax, blo, bhi, groups,
+            cap=self.cap,
+            filt_is_int=self.is_int[filter_col],
+            agg_is_int=self.is_int[agg_col] if agg_col else
+            self.is_int[filter_col],
             with_group=True,
             num_groups=num_groups,
         )
         fused = np.asarray(fused)
+        agg_name = agg_col or filter_col
+        goff = self.offsets.get(agg_name, 0) if self.is_int.get(agg_name) \
+            else 0
+        gcnt = np.asarray(gcnt)
+        gsum = np.asarray(gsum) + goff * gcnt
         return {
-            "count": int(fused[0]),
-            "group_counts": np.asarray(gcnt),
-            "group_sums": np.asarray(gsum),
-            "granules_scanned": int(fused[4]),
+            "count": int(fused[0]) + (int(fused[1]) << _PLANE),
+            "group_counts": gcnt,
+            "group_sums": gsum,
+            "granules_scanned": int(fused[5]),
         }
