@@ -28,7 +28,8 @@ def main():
     ap.add_argument("--docs", type=int, default=50000)
     ap.add_argument("--vocab", type=int, default=30000)
     ap.add_argument("--nnz", type=int, default=120)
-    ap.add_argument("--queries", type=int, default=32)
+    ap.add_argument("--queries", type=int, default=512,
+                    help="serving batch size")
     args = ap.parse_args()
 
     from diagon_tpu.sparse import SparseIndex, SparseSearcher, SparseVector
@@ -59,14 +60,33 @@ def main():
         ids = np.unique(rng.choice(args.vocab, size=k, p=probs))
         qs.append(SparseVector(ids, rng.random(len(ids)).astype(np.float32)))
 
-    searcher.search_batch(qs, 10)  # compile
+    # serving throughput: chained dispatches, one scalar probe forcing the
+    # chain (same device-time methodology as bench.py — the tunnel here
+    # adds ~25 ms per readback, which a per-batch collect would serialize)
+    res = searcher.search_batch(qs, 10)  # compile + warm
+    nb = 8
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        res = searcher.search_batch(qs, 10)
-        times.append(time.perf_counter() - t0)
+        handles = [searcher.dispatch_batch(qs, 10) for _ in range(nb)]
+        fused = handles[-1][2]
+        np.asarray(fused[0, 0])
+        times.append((time.perf_counter() - t0) / nb)
     qps = args.queries / min(times)
-    log(f"quantized top-10 (batched): {qps:.0f} qps")
+    log(f"quantized top-10 (batched, device): {qps:.0f} qps "
+        f"(trials ms/batch: {[round(t * 1e3, 2) for t in times]})")
+
+    # bit-exactness vs the quantized numpy oracle on a batch sample (the
+    # pruned path's certificate escalates any unsafe query, so device
+    # results must equal the oracle exactly)
+    for qi in range(0, args.queries, max(1, args.queries // 8)):
+        s_d, d_d, h_d = res[qi]
+        s_o, d_o, h_o = searcher.search_oracle(qs[qi], 10)
+        assert list(d_d) == list(d_o), f"parity FAIL q{qi}"
+        assert h_d == h_o and all(
+            np.float32(a) == np.float32(b) for a, b in zip(s_d, s_o)
+        ), f"parity FAIL q{qi}"
+    log("batch sample: bit-exact vs quantized oracle")
 
     # recall vs exact over the FULL corpus (search_exact is the
     # vectorized CSR oracle; a subsampled oracle understates recall

@@ -31,6 +31,7 @@ from diagon_tpu.search.engine import TermPlan
 from diagon_tpu.sparse.vector import SparseVector
 
 NUM_BINS = 255
+_MISS = object()
 
 
 class SparseIndex:
@@ -99,7 +100,11 @@ class SparseSearcher:
     def __init__(self, index: SparseIndex, device=None):
         import jax
 
-        from diagon_tpu.search.row_engine import RowExecutor, RowFieldIndex
+        from diagon_tpu.search.row_engine import (
+            RowExecutor,
+            RowFieldIndex,
+            build_tile_aux,
+        )
 
         self.index = index
         seg = index.segment
@@ -107,18 +112,27 @@ class SparseSearcher:
         pp = fd.postings
         F = int(pp.block_max_freq.max(initial=1)) + 1
         lut = np.tile(np.arange(F, dtype=np.float32), 128)
-        num_docs_pad = max(128, ((seg.num_docs + 127) // 128) * 128)
+        # pad to a 1024 multiple: the pruned phase-1 pallas kernel wants
+        # doc chunks that are 1024 multiples (128-doc chunks lower but
+        # crawl); live masks exclude the pad docs
+        num_docs_pad = max(1024, ((seg.num_docs + 1023) // 1024) * 1024)
         ridx = RowFieldIndex(
             pp, fd.norms, num_docs_pad, seg.live_docs, lut, device
         )
-        # no idf-scaled heavy bank for sparse (weights are query-dependent);
-        # all clauses use host rows
+        # no idf-scaled heavy bank for sparse (weights are query-dependent;
+        # clauses are (tid, weight) light entries the executor decodes on
+        # device into the batch-compact bank). The zero heavy bank + its
+        # tile aux switch the PRUNED batch path on: phase 1 then runs the
+        # MXU approx matmul over the compact bank — the SindiIndex blocked
+        # accumulation role (reference SindiIndex.h:20-70) done TPU-style.
         ridx.heavy_bank = jax.device_put(
             jnp.zeros((1, num_docs_pad), jnp.float32), device
         )
+        ridx.heavy_ub, ridx.heavy_bits = build_tile_aux(ridx.heavy_bank)
         self.executor = RowExecutor(ridx)
         self.pp = pp
         self.num_docs_pad = num_docs_pad
+        self._plan_cache: dict = {}
 
     def _plan(self, query: SparseVector, pad_to: int = 0,
               alpha: float = 1.0):
@@ -249,18 +263,40 @@ class SparseSearcher:
             int(matched.sum()),
         )
 
-    def search_batch(self, queries: Sequence[SparseVector], k: int = 10):
-        """Batched top-k: list of (scores, docids, hits) per query. Plans
-        pad to a common clause bucket so one device program serves all."""
+    def _plan_batch(self, queries: Sequence[SparseVector]):
+        """Per-query plans padded to a common clause bucket, cached by
+        query object identity so re-dispatching a serving batch skips
+        plan building AND hits the executor's stacked-batch cache."""
         from diagon_tpu.search.row_engine import _bucket_tq
 
         pad_to = _bucket_tq(max(max(len(q), 1) for q in queries))
-        plans = [self._plan(q, pad_to=pad_to) for q in queries]
+        plans = []
+        for q in queries:
+            key = (id(q), pad_to)
+            hit = self._plan_cache.get(key, _MISS)
+            if hit is _MISS:
+                hit = self._plan(q, pad_to=pad_to)
+                if len(self._plan_cache) > 8192:
+                    self._plan_cache.clear()
+                self._plan_cache[key] = hit
+            plans.append(hit)
+        return plans
+
+    def dispatch_batch(self, queries: Sequence[SparseVector], k: int = 10):
+        """Enqueue a batch on device; returns a handle for collect_batch
+        (the dispatch/collect split lets a serving loop chain batches
+        without a device->host round-trip between them)."""
+        plans = self._plan_batch(queries)
         live = [p for p in plans if p is not None]
         kk = min(k, self.num_docs_pad)
-        if live:
-            scores, docs, hits = self.executor.top_k_batch(live, kk)
+        fused = self.executor.dispatch(live, kk) if live else None
+        return (plans, live, fused, k, kk)
+
+    def collect_batch(self, handle):
+        plans, live, fused, k, kk = handle
         out = []
+        if live:
+            scores, docs, hits = self.executor.finalize(live, fused, kk)
         li = 0
         for p in plans:
             if p is None:
@@ -272,6 +308,10 @@ class SparseSearcher:
                 out.append((scores[li][:n], docs[li][:n], int(hits[li])))
                 li += 1
         return out
+
+    def search_batch(self, queries: Sequence[SparseVector], k: int = 10):
+        """Batched top-k: list of (scores, docids, hits) per query."""
+        return self.collect_batch(self.dispatch_batch(queries, k))
 
     def search_oracle(self, query: SparseVector, k: int = 10):
         """Exact numpy scoring of the QUANTIZED index (test oracle)."""

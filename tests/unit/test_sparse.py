@@ -185,3 +185,29 @@ def test_rerank_improves_on_quantized():
         if list(qd) != list(wd):
             diffs += 1
     assert diffs >= 1, "fuzz never exercised the quantized/exact gap"
+
+
+def test_batch_pruned_parity_vs_oracle():
+    """The serving path: a batch large enough to engage the PRUNED compact
+    kernel (thresholds forced down) must stay bit-exact vs the quantized
+    numpy oracle — certificate escalation included."""
+    rng = np.random.Generator(np.random.PCG64(21))
+    vecs = _random_vectors(rng, 1500, vocab=300, nnz=25)
+    idx = SparseIndex.build(vecs)
+    searcher = SparseSearcher(idx)
+    ex = searcher.executor
+    ex.prune_min_docs = 1024
+    ex.prune_solo_min_docs = 1024
+    ex.approx_min_q = 4
+    ex.prune_B0 = 2  # tiny tile budget -> exercises escalation too
+    qs = _random_vectors(
+        np.random.Generator(np.random.PCG64(22)), 12, vocab=300, nnz=12
+    )
+    before = ex.metrics["pruned"].value()
+    batch = searcher.search_batch(qs, 10)
+    assert ex.metrics["pruned"].value() > before, "pruned path not engaged"
+    for q, (bs, bd, bh) in zip(qs, batch):
+        os_, od, oh = searcher.search_oracle(q, 10)
+        assert bh == oh
+        np.testing.assert_array_equal(bd, od)
+        np.testing.assert_array_equal(bs, os_)
