@@ -312,65 +312,51 @@ def main():
         "mixed_vs_baseline": round(mixed_qps / BASELINE_OR20_QPS, 2),
     }
 
-    # ---- scale tiers (cached segments; each guarded by the deadline) ----
+    # ---- scale tiers (one capped SUBPROCESS per tier: a clean HBM each —
+    # the 10M tier OOMs a 16 GB chip if the 1M tier's banks are still
+    # resident; scale_bench.py shares the jax compile + oracle caches) ----
+    import subprocess
+
     scale_records = {}
-    for docs, min_need in ((1_000_000, 150), (10_000_000, 300)):
+    for docs, min_need in ((1_000_000, 150), (10_000_000, 220)):
         cache = os.path.join(CACHE_DIR, f"segment_{docs}.pkl")
         if args.quick or remaining() < min_need:
             if not args.quick:
                 log(f"skipping {docs}-doc tier (remaining {remaining():.0f}s"
                     f" < {min_need}s)")
             continue
-        if docs >= 10_000_000 and not os.path.exists(cache):
-            log(f"skipping {docs}-doc tier (no cached segment; build takes"
-                " ~1h — scripts/build_scale_segment.py)")
+        if not os.path.exists(cache):
+            log(f"skipping {docs}-doc tier (no cached segment — "
+                "scripts/build_scale_segment.py)")
             continue
         tag = f"{docs // 1_000_000}m"
         try:
-            segN, _ = build_or_load_segment(docs, fresh_stats=False)
             t0 = time.time()
-            sN = IndexSearcher([segN])
-            oN = OracleSearcher([segN])
-            h = sN.dispatch_batch([or20] * Q, 10)
-            resN = sN.collect_batch(h)
-            log(f"{tag} setup (load+compile): {time.time() - t0:.1f}s")
-            batch_parity(sN, oN, [or20] * Q, resN, [0], tag=tag, seg=segN)
-            qpsN, tsN, _ = device_throughput(
-                sN, [or20] * Q, n_batches=32, trials=5
+            proc = subprocess.run(
+                [sys.executable, "benchmarks/scale_bench.py",
+                 "--docs", str(docs), "--batch", str(Q)],
+                capture_output=True, text=True,
+                timeout=max(60, remaining() - 30),
             )
-            scale_records[f"or20_{tag}_qps"] = round(qpsN)
-            scale_records[f"or20_{tag}_vs_baseline"] = round(
-                qpsN / BASELINE_OR20_QPS, 2
+            sys.stderr.write(proc.stderr[-4000:])
+            line = (
+                proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
             )
-            log(
-                f"scale {tag} or20 (bit-exact, batch={Q}): {qpsN:,.0f} qps"
-                f" = {qpsN / BASELINE_OR20_QPS:.2f}x baseline "
-                f"(trials ms/batch: {[round(t * 1e3, 2) for t in tsN]})"
-            )
-            if remaining() > min_need / 2:
-                poolN = frequent_terms(sN, "body", args.mixed_pool)
-                mixedN = mixed_query_batch(poolN, n=Q, seed=42)
-                mqpsN, tsN, mresN = device_throughput(
-                    sN, mixedN, n_batches=16, trials=4
+            if not line.startswith("{"):
+                raise RuntimeError(
+                    f"rc={proc.returncode} tail={proc.stderr[-200:]!r}"
                 )
-                batch_parity(
-                    sN, oN, mixedN, mresN,
-                    list(range(0, Q, Q // 8)), tag=f"mixed-{tag}", seg=segN,
-                )
-                scale_records[f"mixed_{tag}_qps"] = round(mqpsN)
-                scale_records[f"mixed_{tag}_vs_baseline"] = round(
-                    mqpsN / BASELINE_OR20_QPS, 2
-                )
-                log(
-                    f"scale {tag} mixed-1024 (8 sampled bit-exact): "
-                    f"{mqpsN:,.0f} qps = "
-                    f"{mqpsN / BASELINE_OR20_QPS:.2f}x baseline"
-                )
-            del sN, oN, segN
+            tier = json.loads(line)
+            for key in ("or20_qps", "or20_vs_baseline", "mixed_qps",
+                        "mixed_vs_baseline"):
+                if key in tier:
+                    scale_records[key.replace("_", f"_{tag}_", 1)] = tier[key]
+            log(f"scale {tag} ({time.time() - t0:.0f}s): "
+                f"or20 {tier.get('or20_qps', 0):,} qps = "
+                f"{tier.get('or20_vs_baseline')}x; mixed "
+                f"{tier.get('mixed_qps', 0):,} qps = "
+                f"{tier.get('mixed_vs_baseline')}x ({tier.get('parity')})")
         except Exception as exc:  # a failed tier must not eat the JSON
-            import traceback
-
-            traceback.print_exc(file=sys.stderr)
             log(f"scale tier {tag} FAILED: {exc!r:.300}")
             scale_records[f"or20_{tag}_error"] = str(exc)[:120]
     result.update(scale_records)

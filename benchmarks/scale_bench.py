@@ -1,8 +1,14 @@
 #!/usr/bin/env python
-"""Scale benchmark: OR-20 batched throughput at 1M+ docs (pruned path).
+"""Scale benchmark: OR-20 + mixed-batch throughput at 1M/10M docs.
 
-Mirrors bench.py's scale section but standalone, with knobs for batch
-size / tile budget experiments. Prints one JSON line to stdout.
+One scale tier per process: bench.py runs this as a capped subprocess so
+each tier gets a clean HBM (a 10M-doc tier sharing a process with the
+1M tier's banks OOMs a 16 GB chip — the round-3 RESOURCE_EXHAUSTED).
+Standalone use keeps knobs for batch size / tile budget experiments.
+
+Prints ONE JSON line to stdout:
+  {"or20_qps": N, "or20_vs_baseline": N, "mixed_qps": N,
+   "mixed_vs_baseline": N, "parity": "bit-exact"}
 """
 
 from __future__ import annotations
@@ -10,7 +16,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import pickle
 import sys
 import time
 
@@ -34,6 +39,8 @@ def main():
     ap.add_argument("--trial-batches", type=int, default=32)
     ap.add_argument("--b0", type=int, default=0, help="override prune_B0")
     ap.add_argument("--skip-parity", action="store_true")
+    ap.add_argument("--skip-mixed", action="store_true")
+    ap.add_argument("--mixed-pool", type=int, default=160)
     args = ap.parse_args()
 
     import jax
@@ -48,11 +55,17 @@ def main():
     seg, _ = bench.build_or_load_segment(args.docs, fresh_stats=False)
     log(f"segment: {seg.num_docs} docs")
 
-    from diagon_tpu.bench.queries import REUTERS_QUERIES
+    from diagon_tpu.bench.queries import (
+        REUTERS_QUERIES,
+        frequent_terms,
+        mixed_query_batch,
+    )
+    from diagon_tpu.search.oracle import OracleSearcher
     from diagon_tpu.search.searcher import IndexSearcher
 
     t0 = time.time()
     s = IndexSearcher([seg])
+    oracle = OracleSearcher([seg])
     or20 = REUTERS_QUERIES["or20"]
     Q = args.batch
     b = [or20] * Q
@@ -65,39 +78,54 @@ def main():
     res = s.collect_batch(h)
     log(f"setup (load+compile): {time.time() - t0:.1f}s")
 
+    out = {"docs": seg.num_docs, "batch": Q}
     if not args.skip_parity:
-        from diagon_tpu.search.oracle import OracleSearcher
-
         t0 = time.time()
-        want = OracleSearcher([seg]).search(or20, 10)
-        got = res[0]
-        assert got.doc_ids() == want.doc_ids(), "parity FAIL (docids)"
-        assert got.total_hits == want.total_hits, "parity FAIL (hits)"
-        for o, d in zip(want.score_docs, got.score_docs):
-            assert o.score == d.score, (o, d)
-        log(f"parity: bit-exact ({time.time() - t0:.1f}s)")
+        bench.batch_parity(s, oracle, b, res, [0], tag="or20", seg=seg)
+        log(f"parity: or20 bit-exact ({time.time() - t0:.1f}s)")
+        out["parity"] = "bit-exact"
 
-    def trial(n):
+    def trial(batch, n):
         t0 = time.perf_counter()
-        hs = [s.dispatch_batch(b, 10) for _ in range(n)]
+        hs = [s.dispatch_batch(batch, 10) for _ in range(n)]
         _, _, parts = hs[-1]
         np.asarray(parts[-1][2][0, 0])
         return (time.perf_counter() - t0) / n
 
-    ts = [trial(args.trial_batches) for _ in range(args.iters)]
+    ts = [trial(b, args.trial_batches) for _ in range(args.iters)]
     qps = Q / min(ts)
-    log(f"trials ms/batch: {[round(t * 1e3, 2) for t in ts]}")
-    print(
-        json.dumps(
-            {
-                "metric": f"or20_{args.docs}_throughput",
-                "value": round(qps),
-                "unit": "qps",
-                "vs_baseline": round(qps / BASELINE_OR20_QPS, 2),
-                "batch": Q,
-            }
-        )
-    )
+    log(f"or20 trials ms/batch: {[round(t * 1e3, 2) for t in ts]}")
+    out["or20_qps"] = round(qps)
+    out["or20_vs_baseline"] = round(qps / BASELINE_OR20_QPS, 2)
+
+    if not args.skip_mixed:
+        pool = frequent_terms(s, "body", args.mixed_pool)
+        mixed = mixed_query_batch(pool, n=Q, seed=42)
+        hm = s.dispatch_batch(mixed, 10)
+        mres = s.collect_batch(hm)
+        if not args.skip_parity:
+            bench.batch_parity(
+                s, oracle, mixed, mres,
+                list(range(0, Q, max(1, Q // 8))), tag="mixed", seg=seg,
+            )
+            log("parity: mixed sample bit-exact")
+        ts = [
+            trial(mixed, max(8, args.trial_batches // 2))
+            for _ in range(max(3, args.iters - 1))
+        ]
+        mqps = Q / min(ts)
+        log(f"mixed trials ms/batch: {[round(t * 1e3, 2) for t in ts]}")
+        out["mixed_qps"] = round(mqps)
+        out["mixed_vs_baseline"] = round(mqps / BASELINE_OR20_QPS, 2)
+
+    from diagon_tpu.observability.metrics import registry
+
+    counters = {
+        k: v for k, v in registry.snapshot().items()
+        if k.startswith("search.")
+    }
+    log(f"pruning counters: {json.dumps(counters)}")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -44,8 +44,8 @@ def _chunk_for(D: int, cap: int) -> int:
     raise ValueError(f"D={D} must be a multiple of 128")
 
 
-def _dot_ct(b, a_t):
-    """[U8, CH]^T . [U8, Q] -> [CH, Q] f32 — the TRANSPOSED product.
+def _dot_ct(b, a_t, out_dtype=jnp.float32):
+    """[U8, CH]^T . [U8, Q] -> [CH, Q] — the TRANSPOSED product.
 
     Producing [CH, Q] puts each 128-doc tile on the SUBLANE-major axis:
     the tile reduction becomes 16 elementwise vreg maxes + a 3-pass
@@ -56,18 +56,24 @@ def _dot_ct(b, a_t):
         b,
         a_t,
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dtype,
     )
 
 
 def _kernel_or(at_ref, bank_ref, live_ref, tmax_ref, hits_ref):
     c = pl.program_id(0)
-    ap = _dot_ct(bank_ref[...], at_ref[...])  # [CH, Q]
+    # product accumulates f32 (Mosaic requires 32-bit matmul acc); the
+    # tile max rounds ONCE to bf16 on output (rel <= 2^-9; bank rounding
+    # adds <= 2^-9): (1+2^-9)^2 < 1 + 2^-7 = _APPROX_RELEPS, so the
+    # inflated tile bound still dominates the exact score. The [S, Q]
+    # output + its transpose halve. match = (product > 0) stays EXACT
+    # (hit counts are part of the bit-exactness contract).
+    ap = _dot_ct(bank_ref[...], at_ref[...])  # [CH, Q] f32
     q = ap.shape[1]
     g = ap.reshape(-1, 128, q)  # [ng, 128(docs), Q]
     lv = live_ref[...].reshape(-1, 128)[:, :, None]  # [ng, 128, 1]
     match = (g > 0) & (lv > 0)
-    tmax_ref[...] = jnp.max(g, axis=1)  # [ng, Q]
+    tmax_ref[...] = jnp.max(g, axis=1).astype(jnp.bfloat16)  # [ng, Q]
     cnt_t = jnp.sum(match, axis=1, dtype=jnp.int32)  # [ng, Q]
     cnt = jnp.sum(cnt_t, axis=0, keepdims=True)  # [1, Q] (2-D for mosaic)
 
@@ -137,7 +143,10 @@ def pallas_approx_select(
     *,
     interpret: bool = False,
 ):
-    """(tile_max f32 [Q, S], hits i32 [Q]) with S = D/128 — pure-OR."""
+    """(tile_max f32 [Q, S], hits i32 [Q]) with S = D/128 — pure-OR.
+
+    The tile max rides in bf16 (see _kernel_or): callers inflate by
+    _APPROX_RELEPS which covers the extra rounding."""
     U8, Q = a_t.shape
     _, D = bank.shape
     # one [CH, Q] f32 product (+ masks) in VMEM: cap CH so it stays
@@ -161,7 +170,7 @@ def pallas_approx_select(
             pl.BlockSpec((8, Q), lambda c: (0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((S, Q), jnp.float32),
+            jax.ShapeDtypeStruct((S, Q), jnp.bfloat16),
             jax.ShapeDtypeStruct((8, Q), jnp.int32),
         ),
         interpret=interpret,
@@ -169,7 +178,7 @@ def pallas_approx_select(
             dimension_semantics=("arbitrary",),
         ),
     )(a_t, bank, live2)
-    return tmax_t.T, hits[0]
+    return tmax_t.T.astype(jnp.float32), hits[0]
 
 
 def pallas_approx_select_bool(

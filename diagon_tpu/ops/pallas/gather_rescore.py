@@ -94,11 +94,16 @@ def _mk_kernel(B: int, Tq: int, boolean: bool):
 
 def _mk_kernel_resident(B: int, Tq: int, boolean: bool):
     """All-resident variant: every selected slab of the current query
-    lives in VMEM at once (slabs [2, U8, B, LANE], double-buffered across
+    lives in VMEM at once (slabs [2, B, U8, LANE], double-buffered across
     queries), so the clause loop adds [B, LANE] vectors — Tq VPU ops per
-    query instead of B*Tq [1, LANE] ops. Per-doc f32 accumulation order
-    is unchanged (sequential in t for every lane), so results stay
-    bit-exact vs the ring kernel, the XLA scan, and the numpy oracle."""
+    query instead of B*Tq [1, LANE] ops. The slab axis is OUTERMOST so
+    each DMA writes one contiguous [U8, LANE] block (the previous
+    [2, U8, B, LANE] layout split every slab DMA into U8 strided 512-byte
+    pieces — DMA-latency-bound, and the phase-2 wall at B >= 128); the
+    clause loop reads a dynamic sublane slice instead. Per-doc f32
+    accumulation order is unchanged (sequential in t for every lane), so
+    results stay bit-exact vs the ring kernel, the XLA scan, and the
+    numpy oracle."""
 
     def kernel(*refs):
         if boolean:
@@ -111,12 +116,11 @@ def _mk_kernel_resident(B: int, Tq: int, boolean: bool):
         slot = jax.lax.rem(q, 2)
 
         def issue(qq, sl):
-            # dst [U8, b, :] is a strided [U8, LANE] view; the HBM read
-            # side stays one contiguous slab
+            # one contiguous [U8, LANE] slab per DMA
             for b in range(B):
                 pltpu.make_async_copy(
                     bank_ref.at[tsel_ref[b, qq]],
-                    slabs.at[sl, :, b, :],
+                    slabs.at[sl, b],
                     sems.at[sl, b],
                 ).start()
 
@@ -134,7 +138,7 @@ def _mk_kernel_resident(B: int, Tq: int, boolean: bool):
         for b in range(B):
             pltpu.make_async_copy(
                 bank_ref.at[tsel_ref[b, q]],
-                slabs.at[slot, :, b, :],
+                slabs.at[slot, b],
                 sems.at[slot, b],
             ).wait()
 
@@ -144,7 +148,8 @@ def _mk_kernel_resident(B: int, Tq: int, boolean: bool):
             oc = jnp.zeros_like(acc)
             nc = jnp.zeros_like(acc)
         for t in range(Tq):
-            row = slabs[slot, cidx_ref[t, q]]  # [B, LANE]
+            # [B, 1, LANE] dynamic sublane slice -> [B, LANE]
+            row = slabs[slot, :, pl.ds(cidx_ref[t, q], 1), :][:, 0, :]
             if boolean:
                 fl = flags_ref[t, q]
                 present = jnp.where(
@@ -188,7 +193,7 @@ def pallas_gather_rescore(
     )
     if resident:
         scratch = [
-            pltpu.VMEM((2, U8, B, LANE), jnp.float32),
+            pltpu.VMEM((2, B, U8, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((2, B)),
         ]
         kernel = _mk_kernel_resident(B, Tq, boolean)

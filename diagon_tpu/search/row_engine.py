@@ -500,6 +500,28 @@ def row_score_topk_pruned_or(
 _APPROX_RELEPS = np.float32(2.0 ** -7)
 
 
+@jax.jit
+def _take_rows(fused, take):
+    """Broadcast deduped fused rows back to batch order (jitted: the
+    eager gather cost ~5 ms of host dispatch per call)."""
+    return fused[take]
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _merge_split(f1, f2, inv, k):
+    """Reassemble a purity-split batch: widen any exhaustive layout
+    ([*, 2k+1]) with a safe=1 column, concat, restore original order."""
+
+    def widen(f):
+        if f.shape[-1] == 2 * k + 1:  # exhaustive: exact by construction
+            return jnp.concatenate(
+                [f, jnp.ones((f.shape[0], 1), f.dtype)], axis=1
+            )
+        return f
+
+    return jnp.concatenate([widen(f1), widen(f2)])[inv]
+
+
 def _select_tiles(tile_upper, Bk: int, G: int, deterministic: bool = False):
     """Batch tile selection: (tsel int32 [Q, Bk] ascending, u_next [Q],
     min_unsel_feas int32 [Q]).
@@ -1263,6 +1285,11 @@ class RowExecutor:
         self._batch_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._batch_bytes = 0
         self._part_cache: dict = {}
+        # batch-shape decisions (dedup map / purity split) cached by plan
+        # identity: rebuilding them eagerly cost ~12 ms of host time per
+        # dispatch on this 1-core box (profiled), dwarfing the device work
+        self._dedup_cache: dict = {}
+        self._split_cache: dict = {}
         # pruning observability (the reference instruments WAND with
         # per-query counters, WANDScorer.h:99-141); silent perf cliffs —
         # certificate escalations, compact-bank fallbacks — show up here
@@ -1475,6 +1502,7 @@ class RowExecutor:
                 len(plans) >= self.approx_min_q
                 or not pure_or
                 or self.index.num_docs_pad >= self.batch_only_min_docs
+                or self._force_batch
             )
         ):
             compact = self._build_compact(
@@ -1630,8 +1658,12 @@ class RowExecutor:
         )
 
     # total device bytes the batch-entry LRU may hold (compact banks are
-    # ~8 bytes/doc/unique-row; at 1M docs an OR-20 entry is ~190 MB)
-    BATCH_CACHE_BUDGET = 2 << 30
+    # ~8 bytes/doc/unique-row; at 1M docs an OR-20 entry is ~190 MB).
+    # Sized so a purity-split mixed batch (one pure-OR + one boolean
+    # compact entry, ~1.1 GB + ~1.4 GB at 1M docs) AND the or20 batch all
+    # stay resident — at 2 GB the split pair thrashed the LRU and rebuilt
+    # a compact bank EVERY dispatch (measured 19 ms -> 300+ ms per batch)
+    BATCH_CACHE_BUDGET = 5 << 30
 
     def _entry(self, plans: Sequence[RowPlan]):
         ck = tuple(id(p) for p in plans)
@@ -1675,6 +1707,9 @@ class RowExecutor:
 
     # pallas is the default pure-OR path; set False to force the XLA scan
     use_pallas: bool = True
+    # transient: a deduped homogeneous burst routes through the batch
+    # compact path even at sub-batch sizes (set around dispatch recursion)
+    _force_batch: bool = False
     # block-max pruning knobs (instance-overridable; tests force small ones)
     prune_min_docs: int = PRUNE_MIN_DOCS
     prune_B0: int = PRUNE_B0
@@ -1720,7 +1755,17 @@ class RowExecutor:
         ) = self._entry(plans)[1]
         idx = self.index
         G = idx.num_docs_pad // LANE
-        B = min(G, max(self.prune_B0, -(-k // LANE) + 1))
+        # tile budget scales with the tile count: the phase-1 bound is
+        # inflated by _APPROX_RELEPS (~0.8%), and at 10M docs the tile-max
+        # density near theta is ~60 tiles per 1% — B=32 left u_next inside
+        # the inflation margin and escalated EVERY query (measured);
+        # G//512 (=152 at 10M) certifies with margin. The SMEM prefetch
+        # operand tsel.T is [B, Q] i32, so B caps at ~512KB/4Q to stay
+        # inside the 1MB SMEM budget (B=256 at Q=1024 failed to compile).
+        smem_cap = max(32, (512 << 10) // (4 * max(len(plans), 1)))
+        B = min(
+            G, smem_cap, max(self.prune_B0, -(-k // LANE) + 1, G // 512)
+        )
         pure_or = all(p.pure_or for p in plans)
         import jax as _jax
 
@@ -1732,6 +1777,7 @@ class RowExecutor:
             len(plans) >= self.approx_min_q
             or not pure_or
             or idx.num_docs_pad >= self.batch_only_min_docs
+            or self._force_batch
         )
         if batch_mode:
             if compact is None or not self.use_pallas:
@@ -1779,7 +1825,73 @@ class RowExecutor:
         )
 
     def dispatch(self, plans: Sequence[RowPlan], k: int):
+        # identical-plan dedup: a homogeneous serving burst (the same
+        # query fanned across a batch) scores once per UNIQUE plan and
+        # broadcasts the fused rows — phase 1's per-query product columns
+        # are the dominant cost and identical plans produce identical rows
+        if len(plans) > 1:
+            ck = tuple(map(id, plans))
+            hit = self._dedup_cache.get(ck, None)
+            if hit is None:
+                uniq_of: dict = {}
+                uniq = []
+                for p in plans:
+                    if id(p) not in uniq_of:
+                        uniq_of[id(p)] = len(uniq)
+                        uniq.append(p)
+                if len(uniq) < len(plans):
+                    take = jnp.asarray(
+                        [uniq_of[id(p)] for p in plans], jnp.int32
+                    )
+                    hit = (uniq, take)
+                else:
+                    hit = False
+                if len(self._dedup_cache) > 128:
+                    self._dedup_cache.clear()
+                self._dedup_cache[ck] = hit
+            if hit:
+                uniq, take = hit
+                # the deduped sub-batch stands for a LARGE batch: route it
+                # through the batch compact path (the solo tile-UB path's
+                # sum-of-maxes bound is loose and escalates at scale)
+                prev = self._force_batch
+                self._force_batch = True
+                try:
+                    fused_u = self.dispatch(uniq, k)
+                finally:
+                    self._force_batch = prev
+                return _take_rows(fused_u, take)
         if self._use_pruned(plans):
+            # purity split: a single boolean plan would otherwise drag the
+            # WHOLE batch through the 4-product boolean phase-1 kernel;
+            # score the pure-OR majority on the 1-product kernel and only
+            # the boolean subset on the boolean kernel, then restore order
+            ck = tuple(map(id, plans))
+            sp = self._split_cache.get(ck, None)
+            if sp is None:
+                po = [p.pure_or for p in plans]
+                n_or = sum(po)
+                if 0 < n_or < len(plans):
+                    idx_or = [i for i, f in enumerate(po) if f]
+                    idx_bool = [i for i, f in enumerate(po) if not f]
+                    sp = (
+                        [plans[i] for i in idx_or],
+                        [plans[i] for i in idx_bool],
+                        jnp.asarray(
+                            np.argsort(np.asarray(idx_or + idx_bool)),
+                            jnp.int32,
+                        ),
+                    )
+                else:
+                    sp = False
+                if len(self._split_cache) > 128:
+                    self._split_cache.clear()
+                self._split_cache[ck] = sp
+            if sp:
+                p_or, p_bool, inv = sp
+                f1 = self.dispatch(p_or, k)
+                f2 = self.dispatch(p_bool, k)
+                return _merge_split(f1, f2, inv, k)
             groups = self._cached_partition(plans)
             if groups is not None:
                 self.metrics["partitions"].increment()
