@@ -40,7 +40,11 @@ def main():
     ap.add_argument("--b0", type=int, default=0, help="override prune_B0")
     ap.add_argument("--skip-parity", action="store_true")
     ap.add_argument("--skip-mixed", action="store_true")
-    ap.add_argument("--mixed-pool", type=int, default=160)
+    ap.add_argument("--mixed-pool", type=int, default=0,
+                    help="term pool for the mixed batch (0 = auto: 160, "
+                    "shrunk at 10M docs where the pool's banks must fit "
+                    "HBM; the reference's own query tables are a few "
+                    "dozen fixed terms, reuters_benchmark.cpp:193-268)")
     args = ap.parse_args()
 
     import jax
@@ -99,24 +103,49 @@ def main():
     out["or20_vs_baseline"] = round(qps / BASELINE_OR20_QPS, 2)
 
     if not args.skip_mixed:
-        pool = frequent_terms(s, "body", args.mixed_pool)
-        mixed = mixed_query_batch(pool, n=Q, seed=42)
-        hm = s.dispatch_batch(mixed, 10)
-        mres = s.collect_batch(hm)
-        if not args.skip_parity:
-            bench.batch_parity(
-                s, oracle, mixed, mres,
-                list(range(0, Q, max(1, Q // 8))), tag="mixed", seg=seg,
+        try:
+            # free the or20 phase's compact banks first: the batch's
+            # vocabulary banks (~10 B/doc/row) must fit HBM next to the
+            # index, and a 16 GB chip at 10M docs has no room for both
+            # phases' banks at once
+            import gc
+
+            ctx = s._ctx("body")
+            for ex in ctx.row_executors:
+                if ex is not None:
+                    ex._batch_cache.clear()
+                    ex._batch_bytes = 0
+                    if seg.num_docs >= 4 << 20:
+                        # one 10M-doc mixed batch needs most of the chip:
+                        # vocab * 10 B/doc of banks + the index itself
+                        ex.BATCH_CACHE_BUDGET = 9 << 30
+            gc.collect()
+            pool_n = args.mixed_pool or (
+                160 if seg.num_docs < 4 << 20 else 64
             )
-            log("parity: mixed sample bit-exact")
-        ts = [
-            trial(mixed, max(8, args.trial_batches // 2))
-            for _ in range(max(3, args.iters - 1))
-        ]
-        mqps = Q / min(ts)
-        log(f"mixed trials ms/batch: {[round(t * 1e3, 2) for t in ts]}")
-        out["mixed_qps"] = round(mqps)
-        out["mixed_vs_baseline"] = round(mqps / BASELINE_OR20_QPS, 2)
+            pool = frequent_terms(s, "body", pool_n)
+            mixed = mixed_query_batch(pool, n=Q, seed=42)
+            hm = s.dispatch_batch(mixed, 10)
+            mres = s.collect_batch(hm)
+            if not args.skip_parity:
+                bench.batch_parity(
+                    s, oracle, mixed, mres,
+                    list(range(0, Q, max(1, Q // 8))), tag="mixed", seg=seg,
+                )
+                log("parity: mixed sample bit-exact")
+            ts = [
+                trial(mixed, max(8, args.trial_batches // 2))
+                for _ in range(max(3, args.iters - 1))
+            ]
+            mqps = Q / min(ts)
+            log(f"mixed trials ms/batch (pool {pool_n}): "
+                f"{[round(t * 1e3, 2) for t in ts]}")
+            out["mixed_qps"] = round(mqps)
+            out["mixed_vs_baseline"] = round(mqps / BASELINE_OR20_QPS, 2)
+            out["mixed_pool"] = pool_n
+        except Exception as exc:  # the or20 result must still print
+            log(f"mixed phase FAILED: {exc!r:.300}")
+            out["mixed_error"] = str(exc)[:120]
 
     from diagon_tpu.observability.metrics import registry
 

@@ -24,7 +24,12 @@ from diagon_tpu.index.segment import SegmentData
 from diagon_tpu.search.bm25 import BM25Similarity
 from diagon_tpu.search.engine import make_tf_table
 from diagon_tpu.search.query import BooleanQuery, Occur, Query, TermQuery
-from diagon_tpu.search.row_engine import RowFieldIndex, _bucket_tq
+from diagon_tpu.search.row_engine import (
+    LANE,
+    PRUNE_B0,
+    RowFieldIndex,
+    _bucket_tq,
+)
 from diagon_tpu.search.topdocs import ScoreDoc, TopDocs
 
 
@@ -103,6 +108,153 @@ def _sharded_row_search(
         hidx, lidx, scoring, req, sho, neg, bool_params,
     )
     return s[0], d[0], h[0]
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis"))
+def _sharded_compact_build(heavy_banks, light_banks, srcidx, *, mesh, axis):
+    """Gather each shard's batch-compact bank ON DEVICE from its heavy +
+    light banks (``srcidx`` row 0 is the shared zero row, ``1+h`` heavy
+    row h, ``1+H+j`` light row j) — the rows are the exact f32 rows the
+    exhaustive program reads, so the pruned rescore stays bit-exact by
+    construction. Returns the tile-major f32 bank, the bf16 phase-1 copy
+    and the 0/1 presence copy, all sharded over ``axis``."""
+
+    def shard_fn(hb, lb, si):
+        D = hb.shape[2]
+        src = jnp.concatenate(
+            [jnp.zeros((1, D), jnp.float32), hb[0], lb[0]]
+        )
+        bank = src[si[0]]  # [U8, D]
+        U8 = bank.shape[0]
+        compact_t = bank.reshape(U8, D // LANE, LANE).transpose(1, 0, 2)
+        bf16 = bank.astype(jnp.bfloat16)
+        presence = (bf16 > 0).astype(jnp.bfloat16)
+        return compact_t[None], bf16[None], presence[None]
+
+    f = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    return f(heavy_banks, light_banks, srcidx)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "B", "mesh", "axis", "interpret"),
+)
+def _sharded_pruned_search(
+    compact_t,  # f32 [S, G, U8, LANE]
+    compact_bf16,  # bf16 [S, U8, D]
+    presence_bf16,  # bf16 [S, U8, D]
+    cidx,  # int32 [S, Q, Tq]
+    cflags,  # int32 [S, Q, Tq]
+    a_sc_t,  # bf16 [S, U8, Q]
+    a_rq_t,
+    a_sh_t,
+    a_ng_t,
+    params_t,  # f32 [S, 8, Q]
+    heavy_banks,  # f32 [S, H_pad, D] (escalation fallback)
+    light_banks,  # f32 [S, L_pad, D]
+    live,  # f32 [S, D]
+    doc_base,  # int32 [S]
+    hidx,  # int32 [S, Q, Tq]
+    lidx,
+    scoring,
+    req,
+    sho,
+    neg,
+    bool_params,  # f32 [S, Q, 2]
+    *,
+    k: int,
+    B: int,
+    mesh: Mesh,
+    axis: str,
+    interpret: bool,
+):
+    """Pruned sharded batch search: each shard runs the block-max pruned
+    phase 1/2 (``row_score_topk_pruned_batch``) against its LOCAL compact
+    bank; queries whose certificate fails escalate to the exhaustive
+    kernel via ``lax.cond`` INSIDE the shard program (no host round-trip
+    — a per-device data-dependent branch, taken only when some query on
+    that shard is uncertified). The merged result is therefore bit-exact
+    per shard, and the lexicographic all_gather merge keeps it bit-exact
+    globally. Counterpart of the single-chip batch path
+    (``RowExecutor._dispatch_pruned``); reference role:
+    ``MaxScoreBulkScorer.h:18-120`` per leaf + ``IndexSearcher.cpp:76``."""
+
+    def shard_fn(
+        compact_t, compact_bf16, presence_bf16, cidx, cflags,
+        a_sc_t, a_rq_t, a_sh_t, a_ng_t, params_t,
+        heavy_banks, light_banks, live, doc_base,
+        hidx, lidx, scoring, req, sho, neg, bool_params,
+    ):
+        from diagon_tpu.search.row_engine import (
+            row_score_topk,
+            row_score_topk_pruned_batch,
+        )
+
+        fusedp = row_score_topk_pruned_batch(
+            compact_t[0], compact_bf16[0], presence_bf16[0],
+            cidx[0], cflags[0], live[0],
+            a_sc_t[0], a_rq_t[0], a_sh_t[0], a_ng_t[0], params_t[0],
+            bool_params[0], k=k, B=B, boolean=True, interpret=interpret,
+        )  # [Q, 2k+2]
+        safe = fusedp[:, 2 * k + 1] > 0
+        Q = safe.shape[0]
+
+        def esc(_):
+            return row_score_topk(
+                heavy_banks[0], light_banks[0], live[0],
+                hidx[0], lidx[0], scoring[0], req[0], sho[0], neg[0],
+                bool_params[0], k=k,
+            )
+
+        fused_ex = jax.lax.cond(
+            jnp.all(safe),
+            lambda _: jnp.zeros((Q, 2 * k + 1), jnp.float32),
+            esc,
+            None,
+        )
+        fused = jnp.where(safe[:, None], fusedp[:, : 2 * k + 1], fused_ex)
+        scores = fused[:, :k]
+        docs = fused[:, k : 2 * k].astype(jnp.int32) + doc_base[0]
+        hits = fused[:, 2 * k].astype(jnp.int32)
+        esc_n = jax.lax.psum(
+            jnp.sum(jnp.logical_not(safe).astype(jnp.int32)), axis
+        )
+
+        all_scores = jax.lax.all_gather(scores, axis)  # [S, Q, k]
+        all_docs = jax.lax.all_gather(docs, axis)
+        S = all_scores.shape[0]
+        flat_scores = jnp.swapaxes(all_scores, 0, 1).reshape(Q, S * k)
+        flat_docs = jnp.swapaxes(all_docs, 0, 1).reshape(Q, S * k)
+        m_scores, m_docs = merge_topk(flat_scores, flat_docs, k)
+        total_hits = jax.lax.psum(hits, axis)
+        return (
+            m_scores[None],
+            m_docs[None],
+            total_hits[None],
+            esc_n[None],
+        )
+
+    specs = [P(axis)] * 21
+    f = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=tuple(specs),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    s, d, h, e = f(
+        compact_t, compact_bf16, presence_bf16, cidx, cflags,
+        a_sc_t, a_rq_t, a_sh_t, a_ng_t, params_t,
+        heavy_banks, light_banks, live, doc_base,
+        hidx, lidx, scoring, req, sho, neg, bool_params,
+    )
+    return s[0], d[0], h[0], e[0]
 
 
 class ShardedSearcher:
@@ -435,31 +587,168 @@ class ShardedSearcher:
             jax.device_put(jnp.asarray(a), sp)
             for a in (lbanks, hidx, lidx, scoring, req, sho, neg, bool_params)
         )
+        compact = self._compact_plans(
+            hidx, lidx, scoring, req, sho, neg, bool_params,
+            [len(r) for r in light_rows], sp=sp,
+        )
+        if compact is not None:
+            ct, cbf16, cpres = _sharded_compact_build(
+                self.heavy_banks, out[0], compact["srcidx"],
+                mesh=self.mesh, axis=self.axis,
+            )
+            compact["compact_t"] = ct
+            compact["compact_bf16"] = cbf16
+            compact["presence_bf16"] = cpres
+        out = out + (compact,)
         if len(self._plan_cache) < 64:
             self._plan_cache[key] = out
         return out
 
+    # batches at least this large take the pruned per-shard kernels (the
+    # single-chip RowExecutor.approx_min_q); below it the exhaustive
+    # program wins (one bank pass, no certificate risk)
+    approx_min_q = 8
+    COMPACT_MAX_ROWS = 512
+    # tests force a tiny tile budget to exercise the in-program escalation
+    prune_B_override: int = 0
+
+    def _compact_plans(self, hidx, lidx, scoring, req, sho, neg,
+                       bool_params, n_light, *, sp):
+        """Host-side compact-plan arrays for the pruned sharded program
+        (None when the batch shouldn't/can't prune). Mirrors
+        ``RowExecutor._build_compact`` per shard: each shard's clause rows
+        compact into ``srcidx`` gather indices (resolved on device by
+        ``_sharded_compact_build``) with per-clause indices remapped."""
+        S, Q, Tq = hidx.shape
+        if Q < self.approx_min_q:
+            return None
+        H_pad = int(self.heavy_banks.shape[1])
+        used = [np.unique(hidx[si][hidx[si] >= 0]) for si in range(S)]
+        maxU = max(1 + len(used[si]) + n_light[si] for si in range(S))
+        if maxU > self.COMPACT_MAX_ROWS:
+            return None
+        U8 = -(-maxU // 8) * 8
+        srcidx = np.zeros((S, U8), np.int32)
+        cidx = np.zeros((S, Q, Tq), np.int32)
+        a = {
+            r: np.zeros((S, U8, Q), np.float32)
+            for r in ("sc", "rq", "sh", "ng")
+        }
+        qgrid = np.broadcast_to(np.arange(Q)[:, None], (Q, Tq))
+        for si in range(S):
+            u = used[si]
+            nl = n_light[si]
+            srcidx[si, 1 : 1 + len(u)] = 1 + u
+            srcidx[si, 1 + len(u) : 1 + len(u) + nl] = (
+                1 + H_pad + 1 + np.arange(nl)
+            )
+            hpos = np.zeros(int(u.max()) + 1 if len(u) else 1, np.int32)
+            hpos[u] = 1 + np.arange(len(u), dtype=np.int32)
+            cidx[si] = np.where(
+                hidx[si] >= 0,
+                hpos[np.maximum(hidx[si], 0)],
+                np.where(lidx[si] > 0, 1 + len(u) + (lidx[si] - 1), 0),
+            ).astype(np.int32)
+            for r, marr in (
+                ("sc", scoring[si]),
+                ("rq", req[si] > 0),
+                ("sh", sho[si] > 0),
+                ("ng", neg[si] > 0),
+            ):
+                m = marr.astype(bool) & (cidx[si] > 0)
+                np.add.at(a[r][si], (cidx[si][m], qgrid[m]), 1.0)
+        cflags = (
+            scoring.astype(np.int32)
+            + 2 * (req > 0).astype(np.int32)
+            + 4 * (sho > 0).astype(np.int32)
+            + 8 * (neg > 0).astype(np.int32)
+        )
+        params = np.zeros((S, 8, Q), np.float32)
+        params[:, 0] = bool_params[:, :, 0]
+        params[:, 1] = bool_params[:, :, 1]
+
+        def put(arr, dtype=None):
+            j = jnp.asarray(arr)
+            if dtype is not None:
+                j = j.astype(dtype)
+            return jax.device_put(j, sp)
+
+        return {
+            "srcidx": put(srcidx),
+            "cidx": put(cidx),
+            "cflags": put(cflags),
+            "a_sc_t": put(a["sc"], jnp.bfloat16),
+            "a_rq_t": put(a["rq"], jnp.bfloat16),
+            "a_sh_t": put(a["sh"], jnp.bfloat16),
+            "a_ng_t": put(a["ng"], jnp.bfloat16),
+            "params_t": put(params),
+        }
+
     # ------------------------------------------------------------------
     def search_batch(self, queries: Sequence[Query], k: int = 10) -> List[TopDocs]:
-        (lbanks, hidx, lidx, scoring, req, sho, neg, bool_params) = self._plans(
-            queries
-        )
-        scores, docs, hits = _sharded_row_search(
-            self.heavy_banks,
-            lbanks,
-            self.live,
-            self.doc_base,
-            hidx,
-            lidx,
-            scoring,
-            req,
-            sho,
-            neg,
-            bool_params,
-            k=k,
-            mesh=self.mesh,
-            axis=self.axis,
-        )
+        (
+            lbanks, hidx, lidx, scoring, req, sho, neg, bool_params, compact,
+        ) = self._plans(queries)
+        if compact is not None:
+            G = self.num_docs_pad // LANE
+            Q = len(queries)
+            smem_cap = max(32, (512 << 10) // (4 * max(Q, 1)))
+            B = self.prune_B_override or min(
+                G, smem_cap, max(PRUNE_B0, -(-k // LANE) + 1, G // 512)
+            )
+            scores, docs, hits, esc_n = _sharded_pruned_search(
+                compact["compact_t"],
+                compact["compact_bf16"],
+                compact["presence_bf16"],
+                compact["cidx"],
+                compact["cflags"],
+                compact["a_sc_t"],
+                compact["a_rq_t"],
+                compact["a_sh_t"],
+                compact["a_ng_t"],
+                compact["params_t"],
+                self.heavy_banks,
+                lbanks,
+                self.live,
+                self.doc_base,
+                hidx,
+                lidx,
+                scoring,
+                req,
+                sho,
+                neg,
+                bool_params,
+                k=k,
+                B=B,
+                mesh=self.mesh,
+                axis=self.axis,
+                interpret=jax.default_backend() == "cpu",
+            )
+            n_esc = int(np.asarray(esc_n))
+            if n_esc:
+                from diagon_tpu.observability.metrics import registry
+
+                registry.counter(
+                    "search.sharded_escalations",
+                    "sharded (query, shard) pairs escalated to exhaustive",
+                ).increment(n_esc)
+        else:
+            scores, docs, hits = _sharded_row_search(
+                self.heavy_banks,
+                lbanks,
+                self.live,
+                self.doc_base,
+                hidx,
+                lidx,
+                scoring,
+                req,
+                sho,
+                neg,
+                bool_params,
+                k=k,
+                mesh=self.mesh,
+                axis=self.axis,
+            )
         scores = np.asarray(scores)
         docs = np.asarray(docs)
         hits = np.asarray(hits)

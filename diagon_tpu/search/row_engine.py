@@ -1669,6 +1669,22 @@ class RowExecutor:
         ck = tuple(id(p) for p in plans)
         entry = self._batch_cache.get(ck)
         if entry is None:
+            # evict BEFORE building: the old evict-after-insert policy let
+            # peak residency reach old entries + the new entry's banks,
+            # which OOM'd the 16 GB chip at 10M docs (r3 mixed tier).
+            # The estimate overshoots (12 B/doc/row covers f32 tile-major
+            # + bf16 + presence + light f32) — over-eviction only costs a
+            # rebuild, under-eviction costs the device.
+            vocab = set()
+            for p in plans:
+                vocab |= self._plan_row_keys(p)
+            est = 12 * self.index.num_docs_pad * (len(vocab) + 9)
+            while (
+                self._batch_bytes + est > self.BATCH_CACHE_BUDGET
+                and self._batch_cache
+            ):
+                _, (_, _, nb) = self._batch_cache.popitem(last=False)
+                self._batch_bytes -= nb
             stacked = self._stack(plans)
             compact = stacked[-1]
             nbytes = (

@@ -204,3 +204,81 @@ def test_sharded_phrase_range_nested(sharded_rich):
         assert got.doc_ids() == want.doc_ids(), q
         for o, d in zip(want.score_docs, got.score_docs):
             assert o.score == d.score, q
+
+
+def _mixed_batch(n=12):
+    """>= approx_min_q distinct queries spanning OR / AND / FILTER-only /
+    minShould / MUST_NOT so the sharded PRUNED path sees every boolean
+    shape, including score-0 matches (the certificate's hard case)."""
+    from diagon_tpu.search.query import PointRangeQuery
+
+    def B(*cl, ms=0):
+        b = BooleanQuery.Builder()
+        for q, o in cl:
+            b.add(q, o)
+        b.set_minimum_number_should_match(ms)
+        return b.build()
+
+    qs = [
+        TermQuery("body", "oil"),
+        TermQuery("body", "trade"),
+        B((TermQuery("body", "oil"), Occur.SHOULD),
+          (TermQuery("body", "price"), Occur.SHOULD),
+          (TermQuery("body", "w3"), Occur.SHOULD)),
+        B((TermQuery("body", "oil"), Occur.MUST),
+          (TermQuery("body", "price"), Occur.MUST)),
+        # FILTER-only: every match scores 0 (ADVICE r2 high finding)
+        B((TermQuery("body", "oil"), Occur.FILTER)),
+        B((PointRangeQuery("size", 100, 1500), Occur.FILTER),
+          (TermQuery("body", "trade"), Occur.SHOULD)),
+        B((TermQuery("body", "oil"), Occur.SHOULD),
+          (TermQuery("body", "price"), Occur.SHOULD),
+          (TermQuery("body", "trade"), Occur.SHOULD), ms=2),
+        B((TermQuery("body", "trade"), Occur.SHOULD),
+          (TermQuery("body", "oil"), Occur.MUST_NOT)),
+    ]
+    i = 0
+    while len(qs) < n:
+        qs.append(TermQuery("body", f"w{i}"))
+        i += 1
+    return qs
+
+
+def test_sharded_pruned_batch_parity(sharded_rich):
+    """Batches >= approx_min_q route through the per-shard pruned
+    kernels (_sharded_pruned_search); results stay bit-exact."""
+    _, ss, oracle = sharded_rich
+    queries = _mixed_batch(12)
+    plans = ss._plans(queries)
+    assert plans[-1] is not None, "batch should build a sharded compact bank"
+    results = ss.search_batch(queries, 10)
+    for q, got in zip(queries, results):
+        want = oracle.search(q, 10)
+        assert got.total_hits == want.total_hits, q
+        assert got.doc_ids() == want.doc_ids(), q
+        for o, d in zip(want.score_docs, got.score_docs):
+            assert o.score == d.score, q
+
+
+def test_sharded_pruned_escalation(sharded_rich):
+    """A starved tile budget forces certificate failures; the in-program
+    lax.cond escalation must keep results bit-exact and the escalation
+    counter must tick."""
+    from diagon_tpu.observability.metrics import registry
+
+    _, ss, oracle = sharded_rich
+    queries = _mixed_batch(12)
+    before = registry.snapshot().get("search.sharded_escalations", 0)
+    ss.prune_B_override = 1
+    try:
+        results = ss.search_batch(queries, 10)
+    finally:
+        ss.prune_B_override = 0
+    for q, got in zip(queries, results):
+        want = oracle.search(q, 10)
+        assert got.total_hits == want.total_hits, q
+        assert got.doc_ids() == want.doc_ids(), q
+        for o, d in zip(want.score_docs, got.score_docs):
+            assert o.score == d.score, q
+    after = registry.snapshot().get("search.sharded_escalations", 0)
+    assert after > before, "B=1 should force at least one escalation"
