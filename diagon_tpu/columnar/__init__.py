@@ -24,3 +24,14 @@ from diagon_tpu.columnar.compression import (  # noqa: F401
 )
 from diagon_tpu.columnar.store import read_table, write_table  # noqa: F401
 from diagon_tpu.columnar.engine import DeviceTable  # noqa: F401
+from diagon_tpu.columnar.parts import (  # noqa: F401
+    DataPart,
+    DataPartState,
+    DataPartType,
+    delete_part,
+    merge_parts,
+    merge_tables,
+    read_part,
+    select_part_type,
+    write_part,
+)
