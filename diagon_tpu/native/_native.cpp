@@ -101,9 +101,87 @@ struct TermPostings {
     std::vector<int32_t> positions;
 };
 
+// Open-addressing term table: the per-token lookup is THE indexing hot
+// loop (65% of ingest time when this was a node-based unordered_map —
+// one heap node + chain walk per probe). Slots hold (hash, idx+1); term
+// bytes live in one arena so a probe is one contiguous compare, and
+// postings live in a parallel vector indexed by term id.
+struct TermStore {
+    std::vector<uint64_t> slot_hash;
+    std::vector<uint32_t> slot_idx;   // 0 = empty, else term idx + 1
+    std::string arena;                // concatenated term bytes
+    std::vector<uint64_t> offs;       // [T+1] arena offsets
+    std::vector<TermPostings> posts;  // [T]
+    size_t mask;
+
+    TermStore() : slot_hash(1u << 12, 0), slot_idx(1u << 12, 0),
+                  offs(1, 0), mask((1u << 12) - 1) {}
+
+    size_t size() const { return posts.size(); }
+
+    static uint64_t hash_bytes(const char* p, size_t n) {
+        uint64_t h = 0x9E3779B97F4A7C15ull ^ n;
+        size_t rem = n;
+        while (rem >= 8) {
+            uint64_t k;
+            std::memcpy(&k, p, 8);
+            h = (h ^ k) * 0x9DDFEA08EB382D69ull;
+            h ^= h >> 29;
+            p += 8;
+            rem -= 8;
+        }
+        uint64_t k = 0;
+        for (size_t i = 0; i < rem; i++)
+            k = (k << 8) | static_cast<unsigned char>(p[i]);
+        h = (h ^ k) * 0x9DDFEA08EB382D69ull;
+        return h ^ (h >> 32);
+    }
+
+    void grow() {
+        size_t cap = (mask + 1) * 2;
+        std::vector<uint64_t> nh(cap, 0);
+        std::vector<uint32_t> ni(cap, 0);
+        size_t nm = cap - 1;
+        for (size_t s = 0; s <= mask; s++) {
+            if (!slot_idx[s]) continue;
+            size_t d = slot_hash[s] & nm;
+            while (ni[d]) d = (d + 1) & nm;
+            nh[d] = slot_hash[s];
+            ni[d] = slot_idx[s];
+        }
+        slot_hash.swap(nh);
+        slot_idx.swap(ni);
+        mask = nm;
+    }
+
+    uint32_t find_or_insert(const std::string& t, int64_t* ram_bytes) {
+        if ((size() + 1) * 10 >= (mask + 1) * 7) grow();  // 0.7 load max
+        uint64_t h = hash_bytes(t.data(), t.size());
+        size_t s = h & mask;
+        while (slot_idx[s]) {
+            if (slot_hash[s] == h) {
+                uint32_t idx = slot_idx[s] - 1;
+                uint64_t o = offs[idx];
+                if (offs[idx + 1] - o == t.size() &&
+                    std::memcmp(arena.data() + o, t.data(), t.size()) == 0)
+                    return idx;
+            }
+            s = (s + 1) & mask;
+        }
+        uint32_t idx = static_cast<uint32_t>(size());
+        slot_hash[s] = h;
+        slot_idx[s] = idx + 1;
+        arena.append(t);
+        offs.push_back(arena.size());
+        posts.emplace_back();
+        *ram_bytes += 64 + static_cast<int64_t>(t.size());
+        return idx;
+    }
+};
+
 struct FreqProxObject {
     PyObject_HEAD
-    std::unordered_map<std::string, TermPostings>* terms;
+    TermStore* terms;
     std::vector<std::pair<int32_t, int32_t>>* field_lengths;  // (doc, len)
     int64_t sum_total_tf;
     int64_t ram_bytes;
@@ -113,7 +191,7 @@ PyObject* FreqProx_new(PyTypeObject* type, PyObject*, PyObject*) {
     FreqProxObject* self =
         reinterpret_cast<FreqProxObject*>(type->tp_alloc(type, 0));
     if (!self) return nullptr;
-    self->terms = new std::unordered_map<std::string, TermPostings>();
+    self->terms = new TermStore();
     self->field_lengths = new std::vector<std::pair<int32_t, int32_t>>();
     self->sum_total_tf = 0;
     self->ram_bytes = 0;
@@ -141,12 +219,8 @@ PyObject* FreqProx_add_document(FreqProxObject* self, PyObject* args) {
     int32_t pos = 0;
     auto& terms = *self->terms;
     tokenize_ascii(data, len, tok, [&](const std::string& t) {
-        auto it = terms.find(t);
-        if (it == terms.end()) {
-            it = terms.emplace(t, TermPostings{}).first;
-            self->ram_bytes += 64 + static_cast<int64_t>(t.size());
-        }
-        TermPostings& tp = it->second;
+        uint32_t idx = terms.find_or_insert(t, &self->ram_bytes);
+        TermPostings& tp = terms.posts[idx];
         if (!tp.docs.empty() && tp.docs.back() == doc_id) {
             tp.freqs.back() += 1;
         } else {
@@ -179,25 +253,29 @@ PyObject* FreqProx_finish(FreqProxObject* self, PyObject* args) {
     int with_positions;
     if (!PyArg_ParseTuple(args, "p", &with_positions)) return nullptr;
 
-    auto& terms = *self->terms;
-    std::vector<const std::string*> keys;
-    keys.reserve(terms.size());
-    for (auto& kv : terms) keys.push_back(&kv.first);
-    std::sort(keys.begin(), keys.end(),
-              [](const std::string* a, const std::string* b) { return *a < *b; });
+    TermStore& terms = *self->terms;
+    size_t T = terms.size();
+    const char* ar = terms.arena.data();
+    std::vector<uint32_t> order(T);
+    for (size_t i = 0; i < T; i++) order[i] = static_cast<uint32_t>(i);
+    std::sort(order.begin(), order.end(), [&](uint32_t a, uint32_t b) {
+        size_t la = terms.offs[a + 1] - terms.offs[a];
+        size_t lb = terms.offs[b + 1] - terms.offs[b];
+        int c = std::memcmp(ar + terms.offs[a], ar + terms.offs[b],
+                            la < lb ? la : lb);
+        return c < 0 || (c == 0 && la < lb);
+    });
 
-    size_t T = keys.size();
     std::string term_blob;
     std::vector<int64_t> term_offsets(T + 1, 0);
     std::vector<int64_t> entry_start(T + 1, 0);
-    size_t total_entries = 0, total_positions = 0, blob_len = 0;
+    size_t total_entries = 0, total_positions = 0;
     for (size_t t = 0; t < T; t++) {
-        blob_len += keys[t]->size();
-        const TermPostings& tp = terms.at(*keys[t]);
+        const TermPostings& tp = terms.posts[t];
         total_entries += tp.docs.size();
         total_positions += tp.positions.size();
     }
-    term_blob.reserve(blob_len);
+    term_blob.reserve(terms.arena.size());
 
     std::vector<int32_t> docs(total_entries), freqs(total_entries);
     std::vector<int64_t> pos_start;
@@ -209,11 +287,12 @@ PyObject* FreqProx_finish(FreqProxObject* self, PyObject* args) {
 
     size_t e = 0, p = 0;
     for (size_t t = 0; t < T; t++) {
-        const std::string& key = *keys[t];
+        uint32_t id = order[t];
         term_offsets[t] = static_cast<int64_t>(term_blob.size());
-        term_blob += key;
+        term_blob.append(ar + terms.offs[id],
+                         terms.offs[id + 1] - terms.offs[id]);
         entry_start[t] = static_cast<int64_t>(e);
-        const TermPostings& tp = terms.at(key);
+        const TermPostings& tp = terms.posts[id];
         std::memcpy(docs.data() + e, tp.docs.data(),
                     tp.docs.size() * sizeof(int32_t));
         std::memcpy(freqs.data() + e, tp.freqs.data(),
