@@ -145,7 +145,11 @@ class OracleCache:
         return (seg.num_docs, int(fd.postings.doc_freq.sum()))
 
     def want(self, oracle, seg, tag: str, q, k: int):
-        key = (self.fingerprint(seg), tag, k)
+        # repr(q) is part of the key: a tag like "mixed[64]" names a batch
+        # POSITION, and the query at that position changes whenever the
+        # mixed pool/seed changes — replaying a stale cached oracle result
+        # would fail parity on correct output (or worse, pass on wrong)
+        key = (self.fingerprint(seg), tag, repr(q), k)
         hit = self.data.get(key)
         if hit is None:
             td = oracle.search(q, k)

@@ -126,7 +126,9 @@ def main():
             t0 = time.perf_counter()
             for _ in range(args.chain):
                 fused = dt.dispatch_range_agg(**kw)
-            jax.block_until_ready(fused)
+            # ONE scalar probe forces the whole chain; block_until_ready
+            # does NOT wait through the tunnel (enqueue-time only)
+            np.asarray(fused[0])
             times.append((time.perf_counter() - t0) / args.chain)
         dev_us = float(min(times) * 1e6)
         entry = {

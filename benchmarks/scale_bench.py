@@ -31,6 +31,15 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _mem_gb(jax) -> str:
+    try:
+        st = jax.local_devices()[0].memory_stats()
+        return (f"{st['bytes_in_use'] / 2**30:.2f} GiB in use / "
+                f"{st.get('bytes_limit', 0) / 2**30:.2f} limit")
+    except Exception:
+        return "n/a"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
@@ -80,7 +89,7 @@ def main():
                 ex.prune_B0 = args.b0
     h = s.dispatch_batch(b, 10)
     res = s.collect_batch(h)
-    log(f"setup (load+compile): {time.time() - t0:.1f}s")
+    log(f"setup (load+compile): {time.time() - t0:.1f}s; mem {_mem_gb(jax)}")
 
     out = {"docs": seg.num_docs, "batch": Q}
     if not args.skip_parity:
@@ -103,49 +112,59 @@ def main():
     out["or20_vs_baseline"] = round(qps / BASELINE_OR20_QPS, 2)
 
     if not args.skip_mixed:
-        try:
-            # free the or20 phase's compact banks first: the batch's
-            # vocabulary banks (~10 B/doc/row) must fit HBM next to the
-            # index, and a 16 GB chip at 10M docs has no room for both
-            # phases' banks at once
-            import gc
+        # the batch's vocabulary banks (~10 B/doc/row) must fit HBM next
+        # to the index; at 10M docs a 16 GB chip holds the index plus ONE
+        # modest compact bank, so the mixed pool shrinks until one bank
+        # covers the whole batch (partitioned groups would thrash the LRU
+        # — every dispatch rebuilds every group's banks) and an OOM
+        # retries with a smaller pool instead of failing the phase
+        import gc
 
-            ctx = s._ctx("body")
-            for ex in ctx.row_executors:
-                if ex is not None:
-                    ex._batch_cache.clear()
-                    ex._batch_bytes = 0
-                    if seg.num_docs >= 4 << 20:
-                        # one 10M-doc mixed batch needs most of the chip:
-                        # vocab * 10 B/doc of banks + the index itself
-                        ex.BATCH_CACHE_BUDGET = 9 << 30
-            gc.collect()
-            pool_n = args.mixed_pool or (
-                160 if seg.num_docs < 4 << 20 else 64
-            )
-            pool = frequent_terms(s, "body", pool_n)
-            mixed = mixed_query_batch(pool, n=Q, seed=42)
-            hm = s.dispatch_batch(mixed, 10)
-            mres = s.collect_batch(hm)
-            if not args.skip_parity:
-                bench.batch_parity(
-                    s, oracle, mixed, mres,
-                    list(range(0, Q, max(1, Q // 8))), tag="mixed", seg=seg,
-                )
-                log("parity: mixed sample bit-exact")
-            ts = [
-                trial(mixed, max(8, args.trial_batches // 2))
-                for _ in range(max(3, args.iters - 1))
-            ]
-            mqps = Q / min(ts)
-            log(f"mixed trials ms/batch (pool {pool_n}): "
-                f"{[round(t * 1e3, 2) for t in ts]}")
-            out["mixed_qps"] = round(mqps)
-            out["mixed_vs_baseline"] = round(mqps / BASELINE_OR20_QPS, 2)
-            out["mixed_pool"] = pool_n
-        except Exception as exc:  # the or20 result must still print
-            log(f"mixed phase FAILED: {exc!r:.300}")
-            out["mixed_error"] = str(exc)[:120]
+        huge = seg.num_docs >= 4 << 20
+        pools = (
+            [args.mixed_pool] if args.mixed_pool
+            else ([48, 32] if huge else [160])
+        )
+        for pool_n in pools:
+            try:
+                ctx = s._ctx("body")
+                for ex in ctx.row_executors:
+                    if ex is not None:
+                        ex._batch_cache.clear()
+                        ex._batch_bytes = 0
+                        if huge:
+                            # one group must admit the whole mixed vocab:
+                            # pool + light/phrase rows + zero row
+                            ex.COMPACT_GROUP_BYTES = 7 << 30
+                            ex.BATCH_CACHE_BUDGET = 7 << 30
+                gc.collect()
+                log(f"mem before mixed: {_mem_gb(jax)}")
+                pool = frequent_terms(s, "body", pool_n)
+                mixed = mixed_query_batch(pool, n=Q, seed=42)
+                hm = s.dispatch_batch(mixed, 10)
+                mres = s.collect_batch(hm)
+                if not args.skip_parity:
+                    bench.batch_parity(
+                        s, oracle, mixed, mres,
+                        list(range(0, Q, max(1, Q // 8))), tag="mixed",
+                        seg=seg,
+                    )
+                    log("parity: mixed sample bit-exact")
+                ts = [
+                    trial(mixed, max(8, args.trial_batches // 2))
+                    for _ in range(max(3, args.iters - 1))
+                ]
+                mqps = Q / min(ts)
+                log(f"mixed trials ms/batch (pool {pool_n}): "
+                    f"{[round(t * 1e3, 2) for t in ts]}")
+                out["mixed_qps"] = round(mqps)
+                out["mixed_vs_baseline"] = round(mqps / BASELINE_OR20_QPS, 2)
+                out["mixed_pool"] = pool_n
+                break
+            except Exception as exc:  # the or20 result must still print
+                log(f"mixed phase (pool {pool_n}) FAILED: {exc!r:.300}")
+                out["mixed_error"] = str(exc)[:120]
+                out.pop("mixed_qps", None)
 
     from diagon_tpu.observability.metrics import registry
 
