@@ -215,6 +215,40 @@ def device_throughput(searcher, batch, k=10, n_batches=64, trials=6):
 
 
 def main():
+    """Budget-guaranteed wrapper: the measurement runs in a daemon worker
+    thread and THIS thread prints the one JSON line no matter what. A
+    tunnel stall blocks inside an XLA call where no deadline check (and
+    no signal handler) can run — r2's rc=124 — so the main thread must
+    never enter device code."""
+    import threading
+
+    args = _parse_args()
+    holder = {}
+    worker = threading.Thread(
+        target=_run, args=(args, holder), daemon=True
+    )
+    worker.start()
+    worker.join(max(30.0, args.budget - 10.0))
+    if not holder.get("printed"):
+        result = holder.get("result") or {
+            "metric": "reuters_or20_throughput",
+            "value": 0,
+            "unit": "qps",
+            "vs_baseline": 0,
+        }
+        result.setdefault(
+            "error",
+            f"budget exceeded at stage {holder.get('stage', 'startup')!r}"
+            " (device stall?)",
+        )
+        print(json.dumps(result), flush=True)
+        log(f"EMERGENCY JSON emitted (worker stuck at "
+            f"{holder.get('stage')})")
+        os._exit(0 if result.get("value") else 2)
+    worker.join()
+
+
+def _parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="2k-doc smoke run")
     ap.add_argument("--batch", type=int, default=1024)
@@ -230,7 +264,11 @@ def main():
     )
     args = ap.parse_args()
     DEADLINE[0] = T0 + args.budget
+    return args
 
+
+def _run(args, holder):
+    holder["stage"] = "jax init"
     import jax
 
     jax.config.update(
@@ -261,6 +299,7 @@ def main():
     log(f"index size: {size_stats}")
 
     t0 = time.time()
+    holder["stage"] = "device load"
     searcher = IndexSearcher([seg])
     oracle = OracleSearcher([seg])
     log(f"device load: {time.time() - t0:.2f}s")
@@ -269,6 +308,7 @@ def main():
     # post-JSON — in round 2 cold compiles blew it up to 710 s) ----
     if not args.skip_parity:
         t0 = time.time()
+        holder["stage"] = "parity gate"
         for name in ("or20", "and2:oil+price", "phrase:oil price"):
             assert_parity(
                 searcher, oracle, REUTERS_QUERIES[name], name=name
@@ -283,6 +323,7 @@ def main():
     or20 = REUTERS_QUERIES["or20"]
     Q = min(args.batch, 64) if args.quick else args.batch
     nb, tr = (4, 2) if args.quick else (64, 6)
+    holder["stage"] = "or20 headline"
     qps, ts, _ = device_throughput(
         searcher, [or20] * Q, n_batches=nb, trials=tr
     )
@@ -291,9 +332,17 @@ def main():
         f"(trials ms/batch: {[round(t * 1e3, 2) for t in ts]})"
     )
 
+    holder["result"] = {
+        "metric": "reuters_or20_throughput",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / BASELINE_OR20_QPS, 2),
+    }
+
     # ---- mixed batch: 1024 DISTINCT queries across the reference's
     # term/OR/AND/boolean families (round-2 weak #2: the flagship number
     # assumed batch homogeneity) ----
+    holder["stage"] = "mixed batch"
     pool = frequent_terms(searcher, "body", args.mixed_pool)
     mixed = mixed_query_batch(pool, n=Q, seed=42)
     mixed_qps, ts, mres = device_throughput(
@@ -315,6 +364,8 @@ def main():
         "mixed_qps": round(mixed_qps, 1),
         "mixed_vs_baseline": round(mixed_qps / BASELINE_OR20_QPS, 2),
     }
+    holder["result"] = dict(result)
+    holder["stage"] = "scale tiers"
 
     # ---- scale tiers (one capped SUBPROCESS per tier: a clean HBM each —
     # the 10M tier OOMs a 16 GB chip if the 1M tier's banks are still
@@ -366,10 +417,13 @@ def main():
     result.update(scale_records)
 
     # ======== THE one JSON line (everything below is best-effort) ========
+    holder["result"] = dict(result)
     print(json.dumps(result), flush=True)
+    holder["printed"] = True
     log(f"headline JSON emitted at {time.time() - T0:.1f}s")
 
     extras = {}
+    holder["stage"] = "extras"
     try:
         run_extras(args, searcher, oracle, extras)
     except Exception:
