@@ -262,13 +262,39 @@ class DeviceTable:
         self.is_int: Dict[str, bool] = {}
         self.offsets: Dict[str, int] = {}
         self.minmax: Dict[str, Tuple] = {}
+        # dictionary-encoded strings (ClickHouse LowCardinality role): a
+        # SORTED host dictionary + per-row int codes on device, so string
+        # equality/range predicates and group-bys ride the exact int
+        # kernels (dict order == byte order -> code range == byte range)
+        self.dicts: Dict[str, np.ndarray] = {}
         valid = np.zeros((G, R), dtype=bool)
         valid.reshape(-1)[: self.num_rows] = True
         self.valid = dev(valid)
 
         for name, col in table.columns.items():
             if not hasattr(col, "values"):
-                continue  # strings are host-side (bloom prune + host scan)
+                raws = np.empty(len(col), dtype=object)
+                for i in range(len(col)):
+                    raws[i] = col[i]
+                uniq, codes = np.unique(raws, return_inverse=True)
+                self.dicts[name] = uniq
+                pl = np.zeros((3, G * R), np.int32)
+                pl[:, : self.num_rows] = _int_planes(
+                    codes.astype(np.int64), 0
+                )
+                self.planes[name] = tuple(dev(p.reshape(G, R)) for p in pl)
+                self.is_int[name] = True
+                self.offsets[name] = 0
+                from diagon_tpu.columnar.table import MinMaxIndex
+
+                mm_h = MinMaxIndex.build(
+                    codes.astype(np.int64), self.granule_rows
+                )
+                self.minmax[name] = (
+                    tuple(dev(p) for p in _int_planes(mm_h.mins, 0)),
+                    tuple(dev(p) for p in _int_planes(mm_h.maxs, 0)),
+                )
+                continue
             vals = col.values
             if np.issubdtype(vals.dtype, np.integer):
                 off = int(vals.min()) if len(vals) else 0
@@ -302,6 +328,21 @@ class DeviceTable:
 
     # -- bounds ----------------------------------------------------------
     def _bounds(self, name, lower, upper):
+        if name in self.dicts:
+            uniq = self.dicts[name]
+
+            def enc(v):
+                return v.encode() if isinstance(v, str) else bytes(v)
+
+            lo = 0
+            if lower is not None:
+                lo = int(np.searchsorted(uniq, enc(lower), "left"))
+            hi = len(uniq) - 1
+            if upper is not None:
+                hi = int(np.searchsorted(uniq, enc(upper), "right")) - 1
+            if hi < lo:
+                return _bound_planes(1), _bound_planes(0)  # empty range
+            return _bound_planes(lo), _bound_planes(hi)
         if self.is_int[name]:
             off = self.offsets[name]
             span = (1 << 48) - 1
@@ -366,6 +407,19 @@ class DeviceTable:
 
     def _decode(self, fused, agg_col):
         cnt = int(fused[0]) + (int(fused[1]) << _PLANE)
+        if agg_col in self.dicts:
+            # string aggregate: min/max are dictionary codes -> bytes;
+            # sum/avg are meaningless over strings
+            uniq = self.dicts[agg_col]
+            return {
+                "count": cnt,
+                "sum": None,
+                "min": bytes(uniq[int(fused[3])]) if cnt else None,
+                "max": bytes(uniq[int(fused[4])]) if cnt else None,
+                "avg": None,
+                "granules_scanned": int(fused[5]),
+                "granules_total": self.num_granules,
+            }
         is_int = bool(self.is_int.get(agg_col, False))
         off = self.offsets.get(agg_col, 0) if is_int else 0
 
@@ -400,12 +454,26 @@ class DeviceTable:
         self,
         filter_col: str,
         group_col: str,
-        num_groups: int,
+        num_groups: Optional[int] = None,
         lower=None,
         upper=None,
         agg_col: Optional[str] = None,
     ):
-        """Per-group count/sum for a small-cardinality int group column."""
+        """Per-group count/sum for a small-cardinality int or
+        dictionary-encoded string group column."""
+        if num_groups is None:
+            if group_col in self.dicts:
+                num_groups = len(self.dicts[group_col])
+            else:
+                raise ValueError("num_groups required for int group columns")
+        if group_col in self.dicts and len(self.dicts[group_col]) > _PMASK:
+            # group codes ride the LOW plane only; beyond 2^16 distinct
+            # values they would wrap (filters/aggregates stay exact at any
+            # cardinality — only group-by keys have this limit)
+            raise ValueError(
+                f"string group-by cardinality {len(self.dicts[group_col])} "
+                f"exceeds {_PMASK}"
+            )
         filt = self.planes[filter_col]
         agg = self.planes[agg_col] if agg_col else filt
         groups = self.planes[group_col][0]
@@ -430,9 +498,12 @@ class DeviceTable:
             else 0
         gcnt = np.asarray(gcnt)
         gsum = np.asarray(gsum) + goff * gcnt
-        return {
+        out = {
             "count": int(fused[0]) + (int(fused[1]) << _PLANE),
             "group_counts": gcnt,
             "group_sums": gsum,
             "granules_scanned": int(fused[5]),
         }
+        if group_col in self.dicts:
+            out["group_labels"] = [bytes(v) for v in self.dicts[group_col]]
+        return out

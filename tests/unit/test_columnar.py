@@ -163,3 +163,47 @@ def test_device_group_agg_matches_numpy():
         ws = price[mask & (grp == g)].sum()
         if want:
             assert abs(float(got["group_sums"][g]) - ws) / max(ws, 1) < 1e-2
+
+
+def test_device_string_predicates():
+    """Dictionary-encoded strings: equality/range filters, string agg
+    min/max, and group-by all run on the device int planes."""
+    t = _table()
+    dt = DeviceTable(t)
+    names = np.array([t.columns["name"][i] for i in range(t.num_rows)],
+                     dtype=object)
+    ts = t.columns["ts"].values
+    price = t.columns["price"].values
+
+    # equality filter
+    got = dt.range_agg("name", "item42", "item42", agg_col="price")
+    mask = names == b"item42"
+    assert got["count"] == int(mask.sum())
+    assert got["min"] == np.float32(price[mask].astype(np.float32).min())
+
+    # byte-range filter (dict order == byte order: item10 < item100 < item11)
+    got = dt.range_agg("name", "item10", "item19~")
+    lo, hi = b"item10", b"item19~"
+    mask = (names >= lo) & (names <= hi)
+    assert got["count"] == int(mask.sum())
+
+    # absent value -> empty, no error
+    assert dt.range_agg("name", "zzz", "zzz")["count"] == 0
+    assert dt.range_agg("name", "aaa", "aab")["count"] == 0
+
+    # string aggregate: min/max decode back through the dictionary
+    got = dt.range_agg("ts", 0, 200000, agg_col="name")
+    mask = ts <= 200000
+    assert got["min"] == names[mask].min()
+    assert got["max"] == names[mask].max()
+    assert got["sum"] is None and got["avg"] is None
+
+    # group-by a string column (num_groups derived from the dictionary)
+    g = dt.range_group_agg("ts", "name", lower=0, upper=500000)
+    mask = ts <= 500000
+    labels = g["group_labels"]
+    want = {}
+    for nm in names[mask]:
+        want[nm] = want.get(nm, 0) + 1
+    for li, lab in enumerate(labels):
+        assert int(g["group_counts"][li]) == want.get(lab, 0), lab
