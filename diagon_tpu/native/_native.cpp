@@ -112,10 +112,22 @@ struct TermStore {
     std::string arena;                // concatenated term bytes
     std::vector<uint64_t> offs;       // [T+1] arena offsets
     std::vector<TermPostings> posts;  // [T]
+    // deferred per-term tail entry: the hot loop touches only these flat
+    // arrays (one line each); docs/freqs vectors are written once per
+    // (term, doc) transition instead of once per token
+    std::vector<int32_t> last_doc;    // [T], -1 = no pending entry
+    std::vector<int32_t> cur_freq;    // [T]
     size_t mask;
 
     TermStore() : slot_hash(1u << 12, 0), slot_idx(1u << 12, 0),
                   offs(1, 0), mask((1u << 12) - 1) {}
+
+    void flush_entry(uint32_t idx) {
+        TermPostings& tp = posts[idx];
+        tp.docs.push_back(last_doc[idx]);
+        tp.freqs.push_back(cur_freq[idx]);
+        last_doc[idx] = -1;
+    }
 
     size_t size() const { return posts.size(); }
 
@@ -174,6 +186,8 @@ struct TermStore {
         arena.append(t);
         offs.push_back(arena.size());
         posts.emplace_back();
+        last_doc.push_back(-1);
+        cur_freq.push_back(0);
         *ram_bytes += 64 + static_cast<int64_t>(t.size());
         return idx;
     }
@@ -220,17 +234,19 @@ PyObject* FreqProx_add_document(FreqProxObject* self, PyObject* args) {
     auto& terms = *self->terms;
     tokenize_ascii(data, len, tok, [&](const std::string& t) {
         uint32_t idx = terms.find_or_insert(t, &self->ram_bytes);
-        TermPostings& tp = terms.posts[idx];
-        if (!tp.docs.empty() && tp.docs.back() == doc_id) {
-            tp.freqs.back() += 1;
+        if (terms.last_doc[idx] == doc_id) {
+            terms.cur_freq[idx] += 1;
         } else {
-            tp.docs.push_back(doc_id);
-            tp.freqs.push_back(1);
-            if (with_positions)
+            if (terms.last_doc[idx] >= 0) terms.flush_entry(idx);
+            terms.last_doc[idx] = doc_id;
+            terms.cur_freq[idx] = 1;
+            if (with_positions) {
+                TermPostings& tp = terms.posts[idx];
                 tp.pos_start.push_back(
                     static_cast<int64_t>(tp.positions.size()));
+            }
         }
-        if (with_positions) tp.positions.push_back(pos);
+        if (with_positions) terms.posts[idx].positions.push_back(pos);
         self->ram_bytes += 12;
         pos++;
     });
@@ -255,6 +271,9 @@ PyObject* FreqProx_finish(FreqProxObject* self, PyObject* args) {
 
     TermStore& terms = *self->terms;
     size_t T = terms.size();
+    for (size_t t = 0; t < T; t++)  // flush deferred tail entries
+        if (terms.last_doc[t] >= 0)
+            terms.flush_entry(static_cast<uint32_t>(t));
     const char* ar = terms.arena.data();
     std::vector<uint32_t> order(T);
     for (size_t i = 0; i < T; i++) order[i] = static_cast<uint32_t>(i);
