@@ -224,11 +224,21 @@ def main():
 
     args = _parse_args()
     holder = {}
-    worker = threading.Thread(
-        target=_run, args=(args, holder), daemon=True
-    )
+
+    def target():
+        try:
+            _run(args, holder)
+        except BaseException as exc:  # noqa: BLE001 — any worker death
+            holder["died"] = f"{type(exc).__name__}: {exc}"
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+
+    worker = threading.Thread(target=target, daemon=True)
     worker.start()
-    worker.join(max(30.0, args.budget - 10.0))
+    stop_at = T0 + max(30.0, args.budget - 10.0)
+    while worker.is_alive() and time.time() < stop_at:
+        worker.join(timeout=1.0)
     if not holder.get("printed"):
         result = holder.get("result") or {
             "metric": "reuters_or20_throughput",
@@ -238,12 +248,13 @@ def main():
         }
         result.setdefault(
             "error",
-            f"budget exceeded at stage {holder.get('stage', 'startup')!r}"
+            holder.get("died")
+            or f"budget exceeded at stage {holder.get('stage', 'startup')!r}"
             " (device stall?)",
         )
         print(json.dumps(result), flush=True)
-        log(f"EMERGENCY JSON emitted (worker stuck at "
-            f"{holder.get('stage')})")
+        log(f"EMERGENCY JSON emitted (stage {holder.get('stage')!r}, "
+            f"died={holder.get('died')!r})")
         os._exit(0 if result.get("value") else 2)
     worker.join()
 
