@@ -181,6 +181,104 @@ def pallas_approx_select(
     return tmax_t.T.astype(jnp.float32), hits[0]
 
 
+def _kernel_bool2(
+    asc_ref, acb_ref, bank_ref, pres_ref, params_ref, live_ref,
+    tmax_ref, hits_ref,
+):
+    """No-negation boolean phase 1 with the required/should presence
+    counts FUSED into one matmul: the combined indicator carries
+    rq*256 + sh per (row, query) — exact in bf16 when no row serves
+    both roles for one query (the builder checks; 4161-style mixed
+    digits are NOT bf16-exact) — and the f32 product decodes back to
+    exact counts (cc = rc*256 + oc <= 64*256 + 64 < 2^24). Halves the
+    phase-1 matmuls of the general boolean kernel for the dominant
+    no-MUST_NOT query population."""
+    c = pl.program_id(1)
+    ap = _dot_ct(bank_ref[...], asc_ref[...])  # [CH, Q]
+    cc = _dot_ct(pres_ref[...], acb_ref[...])  # [CH, Q] rc*256 + oc
+    nreq = params_ref[0:1, :]
+    msm = params_ref[1:2, :]
+    q = ap.shape[1]
+    g = ap.reshape(-1, 128, q)
+    cc3 = cc.reshape(-1, 128, q)
+    rc3 = jnp.floor(cc3 * jnp.float32(1.0 / 256.0))
+    oc3 = cc3 - rc3 * jnp.float32(256.0)
+    lv = live_ref[...].reshape(-1, 128)[:, :, None]
+    m = (
+        (rc3 == nreq)
+        & (oc3 >= msm)
+        & (cc3 > 0)
+        & (lv > 0)
+    )
+    feasible = jnp.any(m, axis=1)
+    tmax_ref[...] = jnp.where(
+        feasible, jnp.max(g, axis=1), jnp.float32(-1.0)
+    )
+    cnt = jnp.sum(
+        jnp.sum(m, axis=1, dtype=jnp.int32), axis=0, keepdims=True
+    )
+
+    @pl.when(c == 0)
+    def _():
+        hits_ref[...] = jnp.zeros_like(hits_ref)
+
+    hits_ref[0:1, :] = hits_ref[0:1, :] + cnt
+
+
+def pallas_approx_select_bool2(
+    a_sc_t: jnp.ndarray,  # bf16 [U8, Q]
+    a_cb_t: jnp.ndarray,  # bf16 [U8, Q] combined rq*256 + sh indicator
+    bank: jnp.ndarray,  # bf16 [U8, D]
+    presence: jnp.ndarray,  # bf16 [U8, D]
+    params_t: jnp.ndarray,  # f32 [8, Q]
+    live: jnp.ndarray,  # f32 [D]
+    *,
+    interpret: bool = False,
+):
+    """(feasibility-gated tile_max f32 [Q, S], exact hits i32 [Q]) for
+    no-MUST_NOT boolean batches — 2 matmuls instead of 4."""
+    U8, Q = a_sc_t.shape
+    _, D = bank.shape
+    QB = min(128 if Q <= 128 else 256, _round_up(Q, 128))
+    Qp = _round_up(Q, QB)
+    if Qp != Q:
+        pad = lambda a: jnp.pad(a, ((0, 0), (0, Qp - Q)))
+        a_sc_t, a_cb_t, params_t = pad(a_sc_t), pad(a_cb_t), pad(params_t)
+    chunk = _chunk_for(D, 2048)  # 2 products -> twice _kernel_bool's CH
+    S = D // 128
+    ng = chunk // 128
+    n = D // chunk
+    live2 = live.reshape(S, 128)
+
+    amap = lambda qb, c: (0, qb)
+    bmap = lambda qb, c: (0, c)
+    tmax_t, hits = pl.pallas_call(
+        _kernel_bool2,
+        grid=(Qp // QB, n),
+        in_specs=[
+            pl.BlockSpec((U8, QB), amap),
+            pl.BlockSpec((U8, QB), amap),
+            pl.BlockSpec((U8, chunk), bmap),
+            pl.BlockSpec((U8, chunk), bmap),
+            pl.BlockSpec((8, QB), amap),
+            pl.BlockSpec((ng, 128), lambda qb, c: (c, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((ng, QB), lambda qb, c: (c, qb)),
+            pl.BlockSpec((8, QB), lambda qb, c: (0, qb)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, Qp), jnp.float32),
+            jax.ShapeDtypeStruct((8, Qp), jnp.int32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(a_sc_t, a_cb_t, bank, presence, params_t, live2)
+    return tmax_t[:, :Q].T, hits[0, :Q]
+
+
 def pallas_approx_select_bool(
     a_sc_t: jnp.ndarray,  # bf16 [U8, Q]
     a_rq_t: jnp.ndarray,

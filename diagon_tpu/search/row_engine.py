@@ -576,6 +576,7 @@ def _select_tiles(tile_upper, Bk: int, G: int, deterministic: bool = False):
 def _pruned_batch_phase1(
     compact_bf16, presence_bf16, a_sc_t, a_rq_t, a_sh_t, a_ng_t,
     params_t, live, *, Bk: int, boolean: bool, interpret: bool,
+    a_cb_t=None,
 ):
     """Phase 1 + tile selection as its own program. The monolithic
     phase1+select+rescore jit compiled fine but RAN OUT OF HBM at
@@ -590,7 +591,16 @@ def _pruned_batch_phase1(
         pallas_approx_select_bool,
     )
 
-    if boolean:
+    if boolean and a_cb_t is not None:
+        from diagon_tpu.ops.pallas.approx_pass import (
+            pallas_approx_select_bool2,
+        )
+
+        tmax, hits = pallas_approx_select_bool2(
+            a_sc_t, a_cb_t, compact_bf16, presence_bf16,
+            params_t, live, interpret=interpret,
+        )
+    elif boolean:
         tmax, hits = pallas_approx_select_bool(
             a_sc_t, a_rq_t, a_sh_t, a_ng_t, compact_bf16, presence_bf16,
             params_t, live, interpret=interpret,
@@ -648,6 +658,7 @@ def row_score_topk_pruned_batch(
     B: int,
     boolean: bool,
     interpret: bool = False,
+    a_cb_t=None,
 ):
     """MXU-selected pruned scoring for query BATCHES (the WANDScorer /
     MaxScoreBulkScorer role, WANDScorer.h:17-285, MaxScoreBulkScorer.h).
@@ -678,6 +689,7 @@ def row_score_topk_pruned_batch(
     tsel, u_next, min_unsel, hits = _pruned_batch_phase1(
         compact_bf16, presence_bf16, a_sc_t, a_rq_t, a_sh_t, a_ng_t,
         params_t, live, Bk=Bk, boolean=boolean, interpret=interpret,
+        a_cb_t=a_cb_t,
     )
     return _pruned_batch_phase2(
         compact_t, cidx, cflags, live, tsel, u_next, min_unsel, hits,
@@ -1250,6 +1262,10 @@ class CompactBatch:
     a_rq_t: object
     a_sh_t: object
     a_ng_t: object
+    # combined rq*256 + sh indicator for the fused 2-matmul phase 1;
+    # None when the batch has MUST_NOT clauses or a (row, query) pair
+    # serves both roles (mixed digits are not bf16-exact)
+    a_cb_t: object
     params_t: object  # f32 [8, Q]
     nbytes: int
 
@@ -1643,6 +1659,13 @@ class RowExecutor:
         params[0] = [p.num_required for p in plans]
         params[1] = [p.min_should for p in plans]
         dev = jnp.asarray
+        a_cb = None
+        if not pure_or and not a["ng"].any() and not (
+            (a["rq"] > 0) & (a["sh"] > 0)
+        ).any() and a["rq"].max(initial=0) < 256:
+            a_cb = dev(a["rq"] * np.float32(256.0) + a["sh"]).astype(
+                jnp.bfloat16
+            )
         return CompactBatch(
             compact_t,
             compact_bf16,
@@ -1653,6 +1676,7 @@ class RowExecutor:
             dev(a["rq"]).astype(jnp.bfloat16),
             dev(a["sh"]).astype(jnp.bfloat16),
             dev(a["ng"]).astype(jnp.bfloat16),
+            a_cb,
             dev(params),
             nbytes,
         )
@@ -1816,6 +1840,7 @@ class RowExecutor:
                 B=B,
                 boolean=not pure_or,
                 interpret=interpret,
+                a_cb_t=compact.a_cb_t,
             )
         # small pure-OR batches: per-clause tile-UB bounds (one [G] row
         # per clause beats a whole-bank matmul below approx_min_q)

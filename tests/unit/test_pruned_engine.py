@@ -292,3 +292,82 @@ def test_ring_kernel_matches_resident(monkeypatch):
         assert a.total_hits == b.total_hits == want.total_hits
         for o, x, y in zip(want.score_docs, a.score_docs, b.score_docs):
             assert o.score == x.score == y.score
+
+
+@pytest.mark.parametrize("b0", [16, 2])
+def test_fused_bool2_kernel_parity(b0):
+    """No-MUST_NOT boolean batches take the FUSED 2-matmul phase-1
+    kernel (combined rq*256 + sh indicator); batches with negation or a
+    row serving both required and should roles for one query must fall
+    back to the 4-matmul kernel. Bit-exact either way."""
+    seg = _corpus(n_docs=800, seed=77)
+    searcher = IndexSearcher([seg])
+    ctx = _force_pruned(searcher, "body", b0, approx_min_q=1)
+    ex = next(e for e in ctx.row_executors if e is not None)
+    oracle = OracleSearcher([seg])
+
+    def B(*cl, ms=0):
+        b = BooleanQuery.Builder()
+        for q, o in cl:
+            b.add(q, o)
+        b.set_minimum_number_should_match(ms)
+        return b.build()
+
+    T = lambda t: TermQuery("body", t)
+    fused_batch = [
+        B((T("oil"), Occur.MUST), (T("price"), Occur.MUST)),
+        B((T("oil"), Occur.MUST), (T("w1"), Occur.SHOULD),
+          (T("w2"), Occur.SHOULD)),
+        B((T("oil"), Occur.FILTER), (T("w4"), Occur.SHOULD)),
+        B((T("oil"), Occur.FILTER)),  # filter-only: score-0 matches
+        B((T("trade"), Occur.MUST), (T("w5"), Occur.SHOULD),
+          (T("w6"), Occur.SHOULD), ms=1),
+    ] * 3
+    got = searcher.search_batch(fused_batch, 10)
+    # identical queries dedup before dispatch; scan the cache for the
+    # boolean entry that actually ran
+    compacts = [e[1][-1] for e in ex._batch_cache.values()
+                if e[1][-1] is not None]
+    assert compacts and all(
+        c.a_cb_t is not None for c in compacts
+    ), "expected the fused bool2 bank"
+    for q, g in zip(fused_batch, got):
+        want = oracle.search(q, 10)
+        assert g.doc_ids() == want.doc_ids(), q
+        assert g.total_hits == want.total_hits, q
+        for o, d in zip(want.score_docs, g.score_docs):
+            assert o.score == d.score, (q, o, d)
+
+    # negation in the batch -> no fused bank, still bit-exact
+    ex._batch_cache.clear()
+    ex._batch_bytes = 0
+    neg_batch = fused_batch[:4] + [
+        B((T("oil"), Occur.SHOULD), (T("price"), Occur.SHOULD),
+          (T("w3"), Occur.MUST_NOT)),
+    ]
+    got = searcher.search_batch(neg_batch, 10)
+    compacts = [e[1][-1] for e in ex._batch_cache.values()
+                if e[1][-1] is not None]
+    assert compacts and all(c.a_cb_t is None for c in compacts)
+    for q, g in zip(neg_batch, got):
+        want = oracle.search(q, 10)
+        assert g.doc_ids() == want.doc_ids(), q
+        assert g.total_hits == want.total_hits, q
+
+    # same row as MUST and SHOULD in one query -> digit overlap -> no
+    # fused bank, still bit-exact
+    ex._batch_cache.clear()
+    ex._batch_bytes = 0
+    dup_batch = [
+        B((T("oil"), Occur.MUST), (T("oil"), Occur.SHOULD),
+          (T("price"), Occur.SHOULD)),
+        B((T("trade"), Occur.MUST), (T("w1"), Occur.SHOULD)),
+    ] * 4
+    got = searcher.search_batch(dup_batch, 10)
+    compacts = [e[1][-1] for e in ex._batch_cache.values()
+                if e[1][-1] is not None]
+    assert compacts and all(c.a_cb_t is None for c in compacts)
+    for q, g in zip(dup_batch, got):
+        want = oracle.search(q, 10)
+        assert g.doc_ids() == want.doc_ids(), q
+        assert g.total_hits == want.total_hits, q
