@@ -143,7 +143,8 @@ def _sharded_compact_build(heavy_banks, light_banks, srcidx, *, mesh, axis):
 
 @partial(
     jax.jit,
-    static_argnames=("k", "B", "mesh", "axis", "interpret"),
+    static_argnames=("k", "B", "mesh", "axis", "interpret", "pure_or",
+                     "fused2"),
 )
 def _sharded_pruned_search(
     compact_t,  # f32 [S, G, U8, LANE]
@@ -155,6 +156,7 @@ def _sharded_pruned_search(
     a_rq_t,
     a_sh_t,
     a_ng_t,
+    a_cb_t,  # bf16 [S, U8, Q] combined rq*256+sh (zeros when !fused2)
     params_t,  # f32 [S, 8, Q]
     heavy_banks,  # f32 [S, H_pad, D] (escalation fallback)
     light_banks,  # f32 [S, L_pad, D]
@@ -173,6 +175,8 @@ def _sharded_pruned_search(
     mesh: Mesh,
     axis: str,
     interpret: bool,
+    pure_or: bool = False,
+    fused2: bool = False,
 ):
     """Pruned sharded batch search: each shard runs the block-max pruned
     phase 1/2 (``row_score_topk_pruned_batch``) against its LOCAL compact
@@ -187,7 +191,7 @@ def _sharded_pruned_search(
 
     def shard_fn(
         compact_t, compact_bf16, presence_bf16, cidx, cflags,
-        a_sc_t, a_rq_t, a_sh_t, a_ng_t, params_t,
+        a_sc_t, a_rq_t, a_sh_t, a_ng_t, a_cb_t, params_t,
         heavy_banks, light_banks, live, doc_base,
         hidx, lidx, scoring, req, sho, neg, bool_params,
     ):
@@ -196,11 +200,16 @@ def _sharded_pruned_search(
             row_score_topk_pruned_batch,
         )
 
+        # pure-OR batches take the 1-product phase 1; no-negation boolean
+        # batches the fused 2-product kernel; only batches with MUST_NOT
+        # (or digit overlap) pay all 4 presence products
         fusedp = row_score_topk_pruned_batch(
             compact_t[0], compact_bf16[0], presence_bf16[0],
             cidx[0], cflags[0], live[0],
             a_sc_t[0], a_rq_t[0], a_sh_t[0], a_ng_t[0], params_t[0],
-            bool_params[0], k=k, B=B, boolean=True, interpret=interpret,
+            bool_params[0], k=k, B=B, boolean=not pure_or,
+            interpret=interpret,
+            a_cb_t=a_cb_t[0] if fused2 else None,
         )  # [Q, 2k+2]
         safe = fusedp[:, 2 * k + 1] > 0
         Q = safe.shape[0]
@@ -240,7 +249,7 @@ def _sharded_pruned_search(
             esc_n[None],
         )
 
-    specs = [P(axis)] * 21
+    specs = [P(axis)] * 22
     f = jax.shard_map(
         shard_fn,
         mesh=mesh,
@@ -250,7 +259,7 @@ def _sharded_pruned_search(
     )
     s, d, h, e = f(
         compact_t, compact_bf16, presence_bf16, cidx, cflags,
-        a_sc_t, a_rq_t, a_sh_t, a_ng_t, params_t,
+        a_sc_t, a_rq_t, a_sh_t, a_ng_t, a_cb_t, params_t,
         heavy_banks, light_banks, live, doc_base,
         hidx, lidx, scoring, req, sho, neg, bool_params,
     )
@@ -667,6 +676,23 @@ class ShardedSearcher:
         params[:, 0] = bool_params[:, :, 0]
         params[:, 1] = bool_params[:, :, 1]
 
+        # kernel-variant selection (mirrors the single-chip dispatch):
+        # pure-OR -> 1-product phase 1; no-negation boolean without
+        # role-overlapping rows -> fused 2-product; else 4-product
+        present_nonscoring = ((cidx > 0) & ~scoring.astype(bool)).any()
+        pure_or = bool(
+            not (req > 0).any()
+            and not (neg > 0).any()
+            and bool_params[:, :, 1].max(initial=0) <= 1
+            and not present_nonscoring
+        )
+        fused2 = bool(
+            not pure_or
+            and not a["ng"].any()
+            and not ((a["rq"] > 0) & (a["sh"] > 0)).any()
+            and a["rq"].max(initial=0) < 256
+        )
+
         def put(arr, dtype=None):
             j = jnp.asarray(arr)
             if dtype is not None:
@@ -681,7 +707,12 @@ class ShardedSearcher:
             "a_rq_t": put(a["rq"], jnp.bfloat16),
             "a_sh_t": put(a["sh"], jnp.bfloat16),
             "a_ng_t": put(a["ng"], jnp.bfloat16),
+            "a_cb_t": put(
+                a["rq"] * np.float32(256.0) + a["sh"], jnp.bfloat16
+            ),
             "params_t": put(params),
+            "pure_or": pure_or,
+            "fused2": fused2,
         }
 
     # ------------------------------------------------------------------
@@ -706,6 +737,7 @@ class ShardedSearcher:
                 compact["a_rq_t"],
                 compact["a_sh_t"],
                 compact["a_ng_t"],
+                compact["a_cb_t"],
                 compact["params_t"],
                 self.heavy_banks,
                 lbanks,
@@ -723,6 +755,8 @@ class ShardedSearcher:
                 mesh=self.mesh,
                 axis=self.axis,
                 interpret=jax.default_backend() == "cpu",
+                pure_or=compact["pure_or"],
+                fused2=compact["fused2"],
             )
             n_esc = int(np.asarray(esc_n))
             if n_esc:

@@ -282,3 +282,50 @@ def test_sharded_pruned_escalation(sharded_rich):
             assert o.score == d.score, q
     after = registry.snapshot().get("search.sharded_escalations", 0)
     assert after > before, "B=1 should force at least one escalation"
+
+
+def test_sharded_pruned_kernel_variants(sharded_rich):
+    """The sharded pruned program picks the kernel by batch shape:
+    pure-OR batches the 1-product phase 1, no-MUST_NOT boolean batches
+    the fused 2-product kernel, negation batches all 4 products —
+    bit-exact in every variant."""
+
+    def B(*cl, ms=0):
+        b = BooleanQuery.Builder()
+        for q, o in cl:
+            b.add(q, o)
+        b.set_minimum_number_should_match(ms)
+        return b.build()
+
+    _, ss, oracle = sharded_rich
+    T = lambda t: TermQuery("body", t)
+
+    or_batch = [T("oil"), T("price"), T("trade")] + [
+        B((T("oil"), Occur.SHOULD), (T(f"w{i}"), Occur.SHOULD))
+        for i in range(9)
+    ]
+    bool_batch = [
+        B((T("oil"), Occur.MUST), (T("price"), Occur.MUST)),
+        B((T("trade"), Occur.FILTER), (T("oil"), Occur.SHOULD)),
+        B((T("oil"), Occur.MUST), (T("w1"), Occur.SHOULD),
+          (T("w2"), Occur.SHOULD)),
+    ] * 4
+    neg_batch = bool_batch[:10] + [
+        B((T("oil"), Occur.SHOULD), (T("w3"), Occur.MUST_NOT)),
+    ] * 2
+
+    for batch, want_pure, want_fused in (
+        (or_batch, True, False),
+        (bool_batch, False, True),
+        (neg_batch, False, False),
+    ):
+        compact = ss._plans(batch)[-1]
+        assert compact is not None
+        assert compact["pure_or"] is want_pure, (want_pure, want_fused)
+        assert compact["fused2"] is want_fused, (want_pure, want_fused)
+        for q, got in zip(batch, ss.search_batch(batch, 10)):
+            want = oracle.search(q, 10)
+            assert got.total_hits == want.total_hits, q
+            assert got.doc_ids() == want.doc_ids(), q
+            for o, d in zip(want.score_docs, got.score_docs):
+                assert o.score == d.score, q
