@@ -297,6 +297,15 @@ def build_tile_aux(bank):
     return jnp.concatenate(ubs), jnp.concatenate(bits)
 
 
+@jax.jit
+def _tile_major(bank):
+    """[U8, D] -> [G, U8, LANE] tile-major relayout (module-level jit so
+    repeated bank builds at a bucketed shape reuse one compile — an
+    inline lambda here cost a fresh XLA compile per batch)."""
+    U8, D = bank.shape
+    return bank.reshape(U8, D // LANE, LANE).transpose(1, 0, 2)
+
+
 def _pad_rows8(bank):
     """Pad a bank's row count to a multiple of 8 (TPU sublane rule for the
     pallas approx pass; zero rows contribute nothing to the matmul)."""
@@ -1629,10 +1638,22 @@ class RowExecutor:
         if n_light:
             parts.append(light_bank[1 : 1 + n_light])
         compact_f32 = _pad_rows8(jnp.concatenate(parts))
+        # bucket the row count past the sublane-8 rule: vocabulary drift
+        # between serving batches otherwise recompiles phase 1/2 for
+        # every distinct U8 (zero rows are free FLOP-wise; skip at huge
+        # D where 24 pad rows cost ~1 GB of HBM)
+        if self.index.num_docs_pad < self.batch_only_min_docs:
+            n = int(compact_f32.shape[0])
+            n32 = -(-n // 32) * 32
+            if n32 != n:
+                compact_f32 = jnp.concatenate(
+                    [
+                        compact_f32,
+                        jnp.zeros((n32 - n, D), jnp.float32),
+                    ]
+                )
         U8 = int(compact_f32.shape[0])
-        compact_t = jax.jit(
-            lambda b: b.reshape(U8, D // LANE, LANE).transpose(1, 0, 2)
-        )(compact_f32)
+        compact_t = _tile_major(compact_f32)
         compact_bf16 = compact_f32.astype(jnp.bfloat16)
         nbytes = U8 * D * 6  # f32 tile-major + bf16
         presence_bf16 = compact_bf16  # placeholder (unused when pure-OR)
@@ -1865,6 +1886,42 @@ class RowExecutor:
             B=B,
         )
 
+    @staticmethod
+    def _bucket_q(q: int) -> int:
+        """Batch-length bucket: serving batches vary by a few queries
+        between calls (purity splits, dedup) and every distinct Q is a
+        fresh XLA compile (~0.7 s/kernel pair, measured 14 s for one new
+        1024-query mixed batch). Bounded buckets cap overhead at ~12%."""
+        if q <= 64:
+            return -(-q // 8) * 8
+        if q <= 256:
+            return -(-q // 64) * 64
+        return -(-q // 128) * 128
+
+    def _pad_plan(self) -> "RowPlan":
+        """Singleton match-nothing pure-OR plan used to pad batches up to
+        the Q bucket (absent term: zero row, zero hits)."""
+        p = getattr(self, "_pad_plan_cache", None)
+        if p is None:
+            from diagon_tpu.search.engine import TermPlan
+
+            p = self.build_plan(
+                [TermPlan(-1, np.float32(0.0), should=True)],
+                min_should=1,
+                idf_of_tid=lambda tid: np.float32(0.0),
+            )
+            self._pad_plan_cache = p
+        return p
+
+    def _pad_batch(self, plans):
+        """(padded_plans, original_q) — pad to the Q bucket so repeated
+        serving batches of drifting sizes reuse one compiled kernel."""
+        q = len(plans)
+        qp = self._bucket_q(q)
+        if qp == q:
+            return plans, q
+        return list(plans) + [self._pad_plan()] * (qp - q), q
+
     def dispatch(self, plans: Sequence[RowPlan], k: int):
         # identical-plan dedup: a homogeneous serving burst (the same
         # query fanned across a batch) scores once per UNIQUE plan and
@@ -1948,10 +2005,11 @@ class RowExecutor:
                         )
                     outs.append(f)
                 return jnp.concatenate(outs)
-            fused = self._dispatch_pruned(plans, k)
+            padded, orig_q = self._pad_batch(plans)
+            fused = self._dispatch_pruned(padded, k)
             if fused is not None:
                 self.metrics["pruned"].increment()
-                return fused
+                return fused[:orig_q]
             self.metrics["compact_fallbacks"].increment()
         self.metrics["exhaustive"].increment()
         return self._exhaustive_chunked(plans, k)
