@@ -371,3 +371,20 @@ def test_fused_bool2_kernel_parity(b0):
         want = oracle.search(q, 10)
         assert g.doc_ids() == want.doc_ids(), q
         assert g.total_hits == want.total_hits, q
+
+
+def test_q_bucket_padding_parity():
+    """Batch sizes just past each Q-bucket boundary pad with the
+    match-nothing plan; padded results slice away, parity holds."""
+    seg = _corpus(n_docs=600, vocab=40, seed=5)
+    searcher = IndexSearcher([seg])
+    _force_pruned(searcher, "body", 16, approx_min_q=1)
+    oracle = OracleSearcher([seg])
+    terms = [f"w{i}" for i in range(30)] + ["oil", "price"]
+    for n in (7, 9, 63, 65, 129):
+        qs = [TermQuery("body", terms[i % len(terms)]) for i in range(n)]
+        got = searcher.search_batch(qs, 10)
+        for q, g in zip(qs, got):
+            want = oracle.search(q, 10)
+            assert g.doc_ids() == want.doc_ids(), (n, q)
+            assert g.total_hits == want.total_hits, (n, q)
