@@ -2012,6 +2012,9 @@ class RowExecutor:
                 return fused[:orig_q]
             self.metrics["compact_fallbacks"].increment()
         self.metrics["exhaustive"].increment()
+        if len(plans) > 1:  # same shape-stability rationale as the
+            padded, orig_q = self._pad_batch(plans)  # pruned branch
+            return self._exhaustive_chunked(padded, k)[:orig_q]
         return self._exhaustive_chunked(plans, k)
 
     def _cached_partition(self, plans: Sequence[RowPlan]):
