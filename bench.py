@@ -521,6 +521,24 @@ def run_extras(args, searcher, oracle, extras):
         log("single-stream P50 latency (us): " + json.dumps(lat))
         extras["latency_p50_us"] = lat
 
+    # cold-batch dispatch cost: a NEW batch object of distinct queries
+    # (plan build + bank reuse + any residual compiles) — the serving
+    # cost the steady-state trials hide by reusing one batch
+    if remaining() > 30 and not args.quick:
+        from diagon_tpu.bench.queries import (
+            frequent_terms as _ft,
+            mixed_query_batch as _mqb,
+        )
+
+        pool = _ft(searcher, "body", args.mixed_pool)
+        fresh = _mqb(pool, n=args.batch, seed=7)
+        t0 = time.perf_counter()
+        h = searcher.dispatch_batch(fresh, 10)
+        searcher.collect_batch(h)
+        extras["new_batch_dispatch_s"] = round(time.perf_counter() - t0, 3)
+        log(f"new-batch dispatch+collect (plan build, cold): "
+            f"{extras['new_batch_dispatch_s']}s")
+
     # end-to-end throughput incl. tunnel readbacks
     if remaining() > 45 and not args.quick:
         Q = args.batch
