@@ -2095,8 +2095,12 @@ class RowExecutor:
             for c0 in range(0, len(unsafe), esc_chunk):
                 grp = unsafe[c0 : c0 + esc_chunk]
                 sub = [plans[int(i)] for i in grp]
+                if len(sub) > 1:  # shape-stable escalation chunks
+                    sub, _ = self._pad_batch(sub)
                 sub_fused = self._exhaustive_fused(sub, k)
-                s2, d2, h2 = unfuse_topk(np.asarray(sub_fused), k)
+                s2, d2, h2 = unfuse_topk(
+                    np.asarray(sub_fused)[: len(grp)], k
+                )
                 scores[grp] = s2
                 docs[grp] = d2
                 hits[grp] = h2
