@@ -171,6 +171,189 @@ def _mk_kernel_resident(B: int, Tq: int, boolean: bool):
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# Union (sorted-pair) rescore: one DMA per DISTINCT selected tile
+# ---------------------------------------------------------------------------
+
+UNION_PB = 8  # pairs per grid step
+UNION_NSLOT = 2 * UNION_PB + 4  # slab ring >= slots two steps can span
+# scalar-prefetch budget: the packed pair array is [P] i32 in SMEM (~1 MB
+# total SMEM); cap the union path so pair metadata + cidx/flags fit
+UNION_MAX_PAIRS = 64 << 10
+
+
+def _mk_union_kernel(PB: int, Tq: int, boolean: bool, NSLOT: int):
+    """Sorted-pair rescore step: processes PB pairs, DMAing each distinct
+    tile slab ONCE into a ring of NSLOT VMEM slabs.
+
+    Scalar operands:
+      pair_ref [P] i32 — packed (slot << 12) | (q << 1) | is_new  (slot is
+        the distinct-tile rank of the pair; is_new marks the slot's first
+        pair, which owns the DMA wait)
+      dtile_ref [NDIST_pad] i32 — tile id per distinct slot
+      ilo/ihi [NSTEP] i32 — slot issue range for each step (prefetches one
+        step ahead; ring capacity NSLOT >= 2*PB + 2 makes reuse safe: a
+        slot s overwrites s - NSLOT, whose pairs were processed at least
+        two steps earlier)
+      cidx_ref [Tq, Q] (+ flags_ref [Tq, Q]) — clause rows per query
+    """
+
+    def kernel(*refs):
+        if boolean:
+            (pair_ref, dtile_ref, ilo_ref, ihi_ref, cidx_ref, flags_ref,
+             bank_ref, s_ref, r_ref, o_ref, n_ref, slabs, sems) = refs
+        else:
+            (pair_ref, dtile_ref, ilo_ref, ihi_ref, cidx_ref,
+             bank_ref, s_ref, slabs, sems) = refs
+        k = pl.program_id(0)
+
+        def issue(s, _):
+            sl = jax.lax.rem(s, NSLOT)
+            pltpu.make_async_copy(
+                bank_ref.at[dtile_ref[s]], slabs.at[sl], sems.at[sl]
+            ).start()
+            return _
+
+        jax.lax.fori_loop(ilo_ref[k], ihi_ref[k], issue, 0)
+
+        for j in range(PB):
+            word = pair_ref[k * PB + j]
+            slot = word >> 12
+            q = (word >> 1) & 0x7FF
+            is_new = word & 1
+            sl = jax.lax.rem(slot, NSLOT)
+
+            @pl.when(is_new == 1)
+            def _():
+                pltpu.make_async_copy(
+                    bank_ref.at[dtile_ref[slot]], slabs.at[sl], sems.at[sl]
+                ).wait()
+
+            acc = jnp.zeros((1, slabs.shape[2]), jnp.float32)
+            if boolean:
+                rc = jnp.zeros_like(acc)
+                oc = jnp.zeros_like(acc)
+                nc = jnp.zeros_like(acc)
+            for t in range(Tq):
+                row = slabs[sl, pl.ds(cidx_ref[t, q], 1), :]
+                if boolean:
+                    fl = flags_ref[t, q]
+                    present = jnp.where(
+                        row > 0, jnp.float32(1.0), jnp.float32(0.0)
+                    )
+                    zero = jnp.zeros_like(row)
+                    acc = acc + jnp.where((fl & 1) != 0, row, zero)
+                    rc = rc + jnp.where((fl & 2) != 0, present, zero)
+                    oc = oc + jnp.where((fl & 4) != 0, present, zero)
+                    nc = nc + jnp.where((fl & 8) != 0, present, zero)
+                else:
+                    acc = acc + row
+            s_ref[j, :] = acc[0]
+            if boolean:
+                r_ref[j, :] = rc[0]
+                o_ref[j, :] = oc[0]
+                n_ref[j, :] = nc[0]
+
+    return kernel
+
+
+def union_rescore_supported(Q: int, B: int) -> bool:
+    """Whether the sorted-pair union kernel can serve this batch shape:
+    pair metadata must fit the SMEM scalar-prefetch budget, the packed
+    word needs q < 2048, and the grid wants PB | Q*B."""
+    P = Q * B
+    return (
+        P % UNION_PB == 0
+        and P <= UNION_MAX_PAIRS
+        and Q <= 2048
+    )
+
+
+def pallas_union_rescore(
+    compact_t: jnp.ndarray,  # f32 [G, U8, LANE] tile-major compact bank
+    cidx: jnp.ndarray,  # int32 [Q, Tq] compact row per clause (0 = zero row)
+    tsel: jnp.ndarray,  # int32 [Q, B] selected tiles (ascending)
+    flags: jnp.ndarray = None,  # int32 [Q, Tq] or None for pure-OR
+    *,
+    interpret: bool = False,
+):
+    """Same contract as pallas_gather_rescore (bit-identical accumulation
+    per (query, tile)), but HBM traffic scales with the number of DISTINCT
+    selected tiles instead of Q*B: the (query, tile) pairs are sorted by
+    tile, each distinct tile's [U8, LANE] slab is DMA'd once, and every
+    pair of that tile accumulates out of the same slab. A diverse 1M-doc
+    mixed batch selects the same hot tiles ~4x over (measured: 28,672
+    pairs -> 7,511 distinct tiles), so the per-(q,b) kernel re-read the
+    bank ~4x; this is the WAND shared-block-access idea in batch form
+    (WANDScorer.h:244-253 reuses one block across its pivot docs)."""
+    G, U8, LANE = compact_t.shape
+    Q, Tq = cidx.shape
+    B = tsel.shape[1]
+    P = Q * B
+    boolean = flags is not None
+    assert union_rescore_supported(Q, B)
+    PB, NSLOT = UNION_PB, UNION_NSLOT
+    NSTEP = P // PB
+
+    ft = tsel.reshape(-1)
+    order = jnp.argsort(ft, stable=True).astype(jnp.int32)  # sorted->orig
+    st = ft[order]  # [P] sorted tiles
+    sq = order // jnp.int32(B)  # [P] query of sorted pair
+    new = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.int32),
+            (st[1:] != st[:-1]).astype(jnp.int32),
+        ]
+    )
+    slot = jnp.cumsum(new, dtype=jnp.int32) - 1  # [P] distinct-tile rank
+    pair = (slot << 12) | (sq << 1) | new
+    # distinct tile per slot: first sorted pair of each slot (slot is a
+    # sorted array, so searchsorted finds that first pair; clamp padding)
+    first = jnp.searchsorted(
+        slot, jnp.arange(P, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    dtile = st[jnp.minimum(first, P - 1)]  # [P] (>=ndist entries unused)
+    # per-step issue ranges: step k issues slots (ihi[k-1], ihi[k]] with
+    # ihi[k] = 1 + last slot needed by step k+1 (one-step prefetch)
+    last_slot = slot[PB - 1 :: PB]  # [NSTEP] last slot of each step
+    ihi = jnp.concatenate([last_slot[1:], last_slot[-1:]]) + 1
+    ilo = jnp.concatenate([jnp.zeros((1,), jnp.int32), ihi[:-1]])
+
+    n_out = 4 if boolean else 1
+    scalars = [pair, dtile, ilo, ihi, cidx.T]
+    if boolean:
+        scalars.append(flags.T)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalars),
+        grid=(NSTEP,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=tuple(
+            pl.BlockSpec((PB, LANE), lambda k, *_: (k, 0))
+            for _ in range(n_out)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NSLOT, U8, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((NSLOT,)),
+        ],
+    )
+    outs = pl.pallas_call(
+        _mk_union_kernel(PB, Tq, boolean, NSLOT),
+        grid_spec=grid_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((P, LANE), jnp.float32)
+            for _ in range(n_out)
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(*scalars, compact_t)
+    # un-permute sorted-pair rows back to [Q, B, LANE]
+    inv = jnp.argsort(order).astype(jnp.int32)
+    outs = tuple(o[inv].reshape(Q, B, LANE) for o in outs)
+    return outs if boolean else outs[0]
+
+
 def pallas_gather_rescore(
     compact_t: jnp.ndarray,  # f32 [G, U8, LANE] tile-major compact bank
     cidx: jnp.ndarray,  # int32 [Q, Tq] compact row per clause (0 = zero row)

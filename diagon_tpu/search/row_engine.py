@@ -47,12 +47,13 @@ HEAVY_MIN_DF = 256
 # pruned 2.68 ms vs exhaustive 3.55 ms already at 19k docs; below ~16k
 # the fixed phase-1/select cost loses to the tiny exhaustive pass.
 PRUNE_MIN_DOCS = 1 << 14
-# Initial candidate-tile budget per query. The approx selection phase is
+# Initial candidate-tile budget per query. The selection phase is
 # near-exact (bf16-relative bound), so the true top-k live in <= k tiles;
-# 32 leaves a tie margin and the certificate escalates when starved
-# (measured at 1M docs: B=24-32 beats 64 by ~12% with zero escalations
-# on the benchmark queries).
-PRUNE_B0 = 32
+# 24 leaves a tie margin and the certificate escalates when starved.
+# Measured on the 1M-doc mixed-1024 batch with exact top_k selection:
+# B0=32 -> 3 escalations/batch, 18.3 ms; B0=24 -> 10 esc, 16.0 ms;
+# B0=16 -> 120 esc and the escalation chunks dominate collect (376 ms).
+PRUNE_B0 = 24
 
 
 def _bucket(n: int, minimum: int = 8) -> int:
@@ -531,23 +532,22 @@ def _merge_split(f1, f2, inv, k):
     return jnp.concatenate([widen(f1), widen(f2)])[inv]
 
 
-def _select_tiles(tile_upper, Bk: int, G: int, deterministic: bool = False):
+def _select_tiles(tile_upper, Bk: int, G: int, deterministic: bool = True):
     """Batch tile selection: (tsel int32 [Q, Bk] ascending, u_next [Q],
     min_unsel_feas int32 [Q]).
 
-    Selection uses ``approx_max_k`` (measured ~2x faster than exact
-    ``top_k`` at [1024, 7813]); exactness does NOT depend on selection
-    quality because ``u_next`` is the EXACT maximum upper bound over the
-    unselected tiles (membership-mask + masked max — no scatter, see
-    CLAUDE.md): ``theta > u_next`` still proves every true top-k doc
-    lives in a selected tile, and a miss merely escalates that query to
-    the exhaustive kernel. u_next = -inf when every tile is selected.
-
-    ``deterministic`` switches to exact ``top_k`` (ties break toward the
-    LOWER tile index == lower docid) — the boolean path uses it so that
+    Selection is exact ``top_k`` with ties toward the LOWER tile index
+    (== lower docid): measured FASTER than ``approx_max_k`` at the
+    serving shapes ([896, 7816] Bk=32: 1.36 vs 1.75 ms — the old
+    "approx is ~2x faster" note predates the query-bucketed shapes), it
+    has no recall misses (a missed high-UB tile lands in u_next and
+    escalates the query), and the boolean tie certificate
+    (_pruned_batch_finish) relies on docid-ordered selection of
     zero-upper-bound feasible tiles (score-0 matches, e.g. FILTER-only
-    queries) are selected in docid order, which its tie certificate
-    (_pruned_batch_finish) relies on to avoid mass escalation.
+    queries). ``u_next`` is the EXACT maximum upper bound over the
+    unselected tiles (membership-mask + masked max — no scatter, see
+    CLAUDE.md): ``theta > u_next`` proves every true top-k doc lives in
+    a selected tile. u_next = -inf when every tile is selected.
 
     ``min_unsel_feas`` is the smallest UNSELECTED tile index whose upper
     bound is >= 0 (G when none): on the boolean path tile_upper >= 0
@@ -563,10 +563,10 @@ def _select_tiles(tile_upper, Bk: int, G: int, deterministic: bool = False):
             jnp.full((Q,), -jnp.inf, jnp.float32),
             jnp.full((Q,), G, jnp.int32),
         )
-    if deterministic:
-        _, idx = jax.lax.top_k(tile_upper, Bk)  # ties -> lower tile index
-    else:
-        _, idx = jax.lax.approx_max_k(tile_upper, Bk, recall_target=0.99)
+    # exact top_k everywhere: measured FASTER than approx_max_k at the
+    # serving shapes ([896, 7816]: 1.36 vs 1.75 ms), deterministic ties
+    # (-> lower tile index), and no recall-miss escalations
+    _, idx = jax.lax.top_k(tile_upper, Bk)
     tsel = jnp.sort(idx.astype(jnp.int32), axis=1)  # docid-order rank stage
     # mask the selected tiles out with a Q*Bk-element scatter (tiny;
     # a [Q, Bk, G] membership broadcast materialized 2.5 GB at 10M docs)
@@ -632,14 +632,29 @@ def _pruned_batch_phase2(
 ):
     G, U8, _ = compact_t.shape
     live_tiles = live.reshape(G, LANE)
-    from diagon_tpu.ops.pallas.gather_rescore import pallas_gather_rescore
+    from diagon_tpu.ops.pallas.gather_rescore import (
+        pallas_gather_rescore,
+        pallas_union_rescore,
+        union_rescore_supported,
+    )
 
+    Q, B = tsel.shape
+    Tq = cidx.shape[1]
+    # diverse serving batches select the same hot tiles several times
+    # over (measured 3.8x at 1M docs); the union kernel DMAs each
+    # distinct tile once. But its inner loop accumulates [1, LANE] rows
+    # per (pair, clause) — compute-bound at large Tq (measured: mixed
+    # boolean subset Tq=4 went 11.5 -> 5.7 ms, pure-OR Tq=20 went
+    # 14.1 -> 20.0 ms) — so it only serves small-Tq batches; wide
+    # clause lists keep the per-(q,b) resident kernel's [B, LANE] ops.
+    use_union = Q >= 64 and Tq <= 8 and union_rescore_supported(Q, B)
+    rescore = pallas_union_rescore if use_union else pallas_gather_rescore
     if boolean:
-        scores, rc, oc, nc = pallas_gather_rescore(
+        scores, rc, oc, nc = rescore(
             compact_t, cidx, tsel, cflags, interpret=interpret
         )
     else:
-        scores = pallas_gather_rescore(
+        scores = rescore(
             compact_t, cidx, tsel, interpret=interpret
         )  # [Q, Bk, LANE]
     return _pruned_batch_finish(

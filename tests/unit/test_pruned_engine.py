@@ -388,3 +388,47 @@ def test_q_bucket_padding_parity():
             want = oracle.search(q, 10)
             assert g.doc_ids() == want.doc_ids(), (n, q)
             assert g.total_hits == want.total_hits, (n, q)
+
+
+@pytest.mark.parametrize("boolean", [False, True])
+def test_union_rescore_matches_gather(boolean):
+    """The sorted-pair union rescore kernel (one DMA per DISTINCT
+    selected tile) must be bit-identical to the per-(q,b) gather kernel:
+    same [Q, B, LANE] scores (and presence-count lanes) for arbitrary
+    cidx/tsel/flags, including duplicate tiles across queries and the
+    zero row."""
+    import jax.numpy as jnp
+
+    from diagon_tpu.ops.pallas.gather_rescore import (
+        pallas_gather_rescore,
+        pallas_union_rescore,
+        union_rescore_supported,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    G, U8, LANE, Q, Tq, B = 24, 16, 128, 64, 5, 8
+    assert union_rescore_supported(Q, B)
+    bank = rng.normal(size=(G, U8, LANE)).astype(np.float32)
+    bank[:, 0, :] = 0.0  # row 0 is the zero row
+    bank[bank < 0] = 0.0  # score rows are nonnegative
+    cidx = rng.integers(0, U8, size=(Q, Tq)).astype(np.int32)
+    # ascending distinct tiles per query, heavy overlap across queries
+    tsel = np.sort(
+        np.stack(
+            [rng.choice(G // 2, size=B, replace=False) for _ in range(Q)]
+        ),
+        axis=1,
+    ).astype(np.int32)
+    flags = (
+        rng.integers(0, 16, size=(Q, Tq)).astype(np.int32)
+        if boolean
+        else None
+    )
+    args = (jnp.asarray(bank), jnp.asarray(cidx), jnp.asarray(tsel))
+    fl = jnp.asarray(flags) if boolean else None
+    a = pallas_gather_rescore(*args, fl, interpret=True)
+    b = pallas_union_rescore(*args, fl, interpret=True)
+    if not boolean:
+        a, b = (a,), (b,)
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
