@@ -39,19 +39,41 @@ def main():
     probs = 1.0 / np.arange(1, args.vocab + 1) ** 1.05
     probs /= probs.sum()
 
-    t0 = time.time()
-    vecs = []
-    for _ in range(args.docs):
-        k = int(rng.integers(30, args.nnz))
-        ids = np.unique(rng.choice(args.vocab, size=k, p=probs))
-        vals = rng.random(len(ids)).astype(np.float32) * 2 + 0.05
-        vecs.append(SparseVector(ids, vals))
-    log(f"corpus: {time.time() - t0:.1f}s {args.docs} docs")
+    import os
+    import pickle
 
+    cache_dir = os.path.expanduser("~/.cache/diagon_tpu")
+    cache = os.path.join(
+        cache_dir, f"sparse_{args.docs}_{args.vocab}_{args.nnz}.pkl"
+    )
     t0 = time.time()
-    idx = SparseIndex.build(vecs)
-    log(f"index build: {time.time() - t0:.1f}s "
-        f"({args.docs / (time.time() - t0):.0f} docs/s)")
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            idx = pickle.load(f)
+        log(f"index: loaded cache {cache} ({time.time() - t0:.1f}s)")
+    else:
+        # vectorized Zipf sampling: one inverse-CDF draw for every slot
+        # (a per-doc rng.choice(p=probs) is O(vocab) per call — minutes
+        # at 50k docs on this one-core host)
+        cdf = np.cumsum(probs)
+        ids_all = np.searchsorted(
+            cdf, rng.random((args.docs, args.nnz))
+        ).astype(np.int64)
+        keep_n = rng.integers(30, args.nnz, size=args.docs)
+        vecs = []
+        for i in range(args.docs):
+            ids = np.unique(ids_all[i, : keep_n[i]])
+            vals = rng.random(len(ids)).astype(np.float32) * 2 + 0.05
+            vecs.append(SparseVector(ids, vals))
+        log(f"corpus: {time.time() - t0:.1f}s {args.docs} docs")
+        t0 = time.time()
+        idx = SparseIndex.build(vecs)
+        log(f"index build: {time.time() - t0:.1f}s "
+            f"({args.docs / (time.time() - t0):.0f} docs/s)")
+        os.makedirs(cache_dir, exist_ok=True)
+        with open(cache + ".tmp", "wb") as f:
+            pickle.dump(idx, f, protocol=4)
+        os.replace(cache + ".tmp", cache)
     searcher = SparseSearcher(idx)
 
     qs = []

@@ -164,8 +164,14 @@ def load_segment(seg: SegmentData, device=None, keep_source: bool = True) -> Dev
     """Upload a segment's search structures to the device.
 
     Doc padding is 1024 (the pallas row-sum TILE; a multiple of the 128
-    lane width everything else assumes)."""
-    num_docs_pad = max(1024, _round_up(seg.num_docs, 1024))
+    lane width everything else assumes) for small segments, 4096 once
+    the segment exceeds 64k docs: the approx-pass kernels' doc chunk
+    must divide D (_chunk_for), and a 1024-aligned 1M-doc segment forced
+    chunk=1024 — 977 grid steps, ~2 ms of per-step overhead on small-Q
+    deduped batches — where 4096-aligned runs 245. Small segments keep
+    the 1024 pad so CPU interpret-mode tests don't 4x their work."""
+    align = 4096 if seg.num_docs > (64 << 10) else 1024
+    num_docs_pad = max(1024, _round_up(seg.num_docs, align))
     fields = {
         name: load_field(fd, num_docs_pad, device)
         for name, fd in seg.fields.items()

@@ -664,6 +664,33 @@ def _pruned_batch_phase2(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("k", "Bk", "out_q", "boolean", "interpret"),
+)
+def _pruned_batch_fused(
+    compact_t, compact_bf16, presence_bf16, cidx, cflags, live,
+    a_sc_t, a_rq_t, a_sh_t, a_ng_t, params_t, bool_params, a_cb_t,
+    *, k: int, Bk: int, out_q: int, boolean: bool, interpret: bool,
+):
+    """phase1 + phase2 + pad-slice as ONE program. The staged two-call
+    pipeline exists for HBM headroom on huge segments (see
+    _pruned_batch_phase1); below batch_only_min_docs it just costs two
+    extra host dispatches — ~1.4 ms/batch of enqueue through the
+    tunnel on the purity-split mixed path (measured 4.78 ms of python
+    per mixed batch at 7 dispatches)."""
+    tsel, u_next, min_unsel, hits = _pruned_batch_phase1(
+        compact_bf16, presence_bf16, a_sc_t, a_rq_t, a_sh_t, a_ng_t,
+        params_t, live, Bk=Bk, boolean=boolean, interpret=interpret,
+        a_cb_t=a_cb_t,
+    )
+    fused = _pruned_batch_phase2(
+        compact_t, cidx, cflags, live, tsel, u_next, min_unsel, hits,
+        bool_params, k=k, boolean=boolean, interpret=interpret,
+    )
+    return fused[:out_q]
+
+
 def row_score_topk_pruned_batch(
     compact_t,  # f32 [G, U8, LANE] batch-compact tile-major bank (exact)
     compact_bf16,  # bf16 [U8, D] approx copy (phase-1 matmul)
@@ -683,6 +710,8 @@ def row_score_topk_pruned_batch(
     boolean: bool,
     interpret: bool = False,
     a_cb_t=None,
+    staged: bool = True,
+    out_q: int = None,
 ):
     """MXU-selected pruned scoring for query BATCHES (the WANDScorer /
     MaxScoreBulkScorer role, WANDScorer.h:17-285, MaxScoreBulkScorer.h).
@@ -710,15 +739,26 @@ def row_score_topk_pruned_batch(
     """
     G, U8, _ = compact_t.shape
     Bk = min(B, G)
+    Q = cidx.shape[0]
+    if out_q is None:
+        out_q = Q
+    if not staged:
+        return _pruned_batch_fused(
+            compact_t, compact_bf16, presence_bf16, cidx, cflags, live,
+            a_sc_t, a_rq_t, a_sh_t, a_ng_t, params_t, bool_params,
+            a_cb_t, k=k, Bk=Bk, out_q=out_q, boolean=boolean,
+            interpret=interpret,
+        )
     tsel, u_next, min_unsel, hits = _pruned_batch_phase1(
         compact_bf16, presence_bf16, a_sc_t, a_rq_t, a_sh_t, a_ng_t,
         params_t, live, Bk=Bk, boolean=boolean, interpret=interpret,
         a_cb_t=a_cb_t,
     )
-    return _pruned_batch_phase2(
+    fused = _pruned_batch_phase2(
         compact_t, cidx, cflags, live, tsel, u_next, min_unsel, hits,
         bool_params, k=k, boolean=boolean, interpret=interpret,
     )
+    return fused if out_q == Q else fused[:out_q]
 
 
 def _pruned_batch_finish(
@@ -1822,9 +1862,12 @@ class RowExecutor:
         # matmuls need the batch to amortize the bank reads)
         return len(plans) >= self.approx_min_q
 
-    def _dispatch_pruned(self, plans: Sequence[RowPlan], k: int):
+    def _dispatch_pruned(self, plans: Sequence[RowPlan], k: int,
+                         out_q: int = None):
         """Pruned dispatch; returns None when the batch cannot prune
-        (compact bank too large) so dispatch() falls back to exhaustive."""
+        (compact bank too large) so dispatch() falls back to exhaustive.
+        ``out_q``: slice the fused result to the first out_q queries
+        INSIDE the batch program (Q-bucket padding removal for free)."""
         (
             hidx, lidx, _scoring, _req, _sho, _neg, bool_params, light_bank,
             light_aux, compact,
@@ -1877,6 +1920,11 @@ class RowExecutor:
                 boolean=not pure_or,
                 interpret=interpret,
                 a_cb_t=compact.a_cb_t,
+                # the staged two-program pipeline is an HBM-headroom
+                # measure for huge segments; below that, one fused
+                # program saves two host dispatches per batch
+                staged=idx.num_docs_pad >= self.batch_only_min_docs,
+                out_q=out_q,
             )
         # small pure-OR batches: per-clause tile-UB bounds (one [G] row
         # per clause beats a whole-bank matmul below approx_min_q)
@@ -1886,7 +1934,7 @@ class RowExecutor:
             light_bits = jnp.zeros(
                 (1, idx.num_docs_pad // 32), jnp.uint32
             )
-        return row_score_topk_pruned_or(
+        fused = row_score_topk_pruned_or(
             idx.heavy_bank,
             light_bank,
             idx.heavy_ub,
@@ -1900,6 +1948,9 @@ class RowExecutor:
             k=k,
             B=B,
         )
+        if out_q is not None and out_q != len(plans):
+            fused = fused[:out_q]
+        return fused
 
     @staticmethod
     def _bucket_q(q: int) -> int:
@@ -2021,10 +2072,10 @@ class RowExecutor:
                     outs.append(f)
                 return jnp.concatenate(outs)
             padded, orig_q = self._pad_batch(plans)
-            fused = self._dispatch_pruned(padded, k)
+            fused = self._dispatch_pruned(padded, k, out_q=orig_q)
             if fused is not None:
                 self.metrics["pruned"].increment()
-                return fused[:orig_q]
+                return fused  # already sliced to orig_q in-program
             self.metrics["compact_fallbacks"].increment()
         self.metrics["exhaustive"].increment()
         if len(plans) > 1:  # same shape-stability rationale as the
