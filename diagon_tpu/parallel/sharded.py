@@ -302,8 +302,10 @@ class ShardedSearcher:
             max(1, int(pp.block_max_freq.max(initial=1))) for pp in pps
         )
         tf_lut_host = make_tf_table(self.avgdl, max_freq)
+        self.tf_lut_host = tf_lut_host
 
         self._idf_cache: Dict[str, np.float32] = {}
+        self._phrase_execs: Dict[int, object] = {}
 
         # per-shard row indexes with a COMMON doc padding (1024 = pallas TILE)
         d_pad = max(
@@ -414,6 +416,42 @@ class ShardedSearcher:
         scores, mask = self._oracle._score_dense(self.shards[si], q)
         return scores, mask.astype(np.float32)
 
+    def _phrase_rows(self, si: int, q) -> Optional[tuple]:
+        """Phrase clause rows via the DEVICE position-intersection kernel
+        (the same PhraseExecutor the single-chip searcher uses — the
+        numpy oracle costs ~9-51 s per phrase clause at 1M docs). Returns
+        None (-> oracle fallback) for foreign fields or positionless
+        shards; scores are bit-identical to the oracle's."""
+        if q.field != self.field:
+            return None
+        ex = self._phrase_execs.get(si, False)
+        if ex is False:
+            try:
+                from diagon_tpu.search.device_index import load_segment
+                from diagon_tpu.search.phrase import PhraseExecutor
+
+                ds = load_segment(self.shards[si])
+                ex = PhraseExecutor(ds, self.field,
+                                    jnp.asarray(self.tf_lut_host))
+            except (ValueError, KeyError):
+                ex = None
+            self._phrase_execs[si] = ex
+        if ex is None:
+            return None
+        # idf from the rarest member term over GLOBAL stats, mirroring
+        # OracleSearcher._score_phrase (PhraseQuery.cpp:304-338)
+        min_df = self.max_doc
+        for t in q.terms:
+            df = self.term_doc_freq(t)
+            if df > 0:
+                min_df = min(min_df, df)
+        if min_df <= 0:
+            min_df = 1
+        idf = float(
+            self.sim.idf(min_df, self.max_doc) * np.float32(q.boost)
+        )
+        return ex.score_row(q.terms, idf, self.shards[si].num_docs)
+
     def _flat_specs(self, si: int, clauses, min_should):
         """One shard's flat clause specs in oracle order:
         (hterm_row, host_row, weight, scoring, is_req, is_sho, is_neg)."""
@@ -500,7 +538,16 @@ class ShardedSearcher:
                          is_req, is_sho, is_neg)
                     )
                     continue
-                scores, match = self._oracle_rows(si, q)
+                from diagon_tpu.search.query import PhraseQuery
+
+                pr = (
+                    self._phrase_rows(si, q)
+                    if isinstance(q, PhraseQuery)
+                    else None
+                )
+                scores, match = (
+                    pr if pr is not None else self._oracle_rows(si, q)
+                )
                 if isinstance(q, BooleanQuery):
                     if scoring:
                         specs.append(

@@ -463,6 +463,21 @@ class IndexSearcher:
                             **flags,
                         )
                     ]
+                if isinstance(q, PhraseQuery) and q.field == field:
+                    # device position-intersection kernel builds the
+                    # clause rows (the numpy oracle costs ~9-51 s per
+                    # phrase clause at 1M docs; see PhraseExecutor
+                    # .score_row) — bit-identical scores
+                    ex = self._phrase_executors(field)[si]
+                    if ex is not None:
+                        scores, match = ex.score_row(
+                            q.terms,
+                            self._phrase_idf(q),
+                            self.device_segments[si].num_docs,
+                        )
+                        row = scores if scoring else match
+                        return [TermPlan(-1, 1.0 if scoring else 0.0,
+                                         host_row=row, **flags)]
                 scores, match = self._oracle_rows(si, q)
                 if isinstance(q, BooleanQuery):
                     # A: score contribution at this clause's position;
@@ -836,21 +851,25 @@ class IndexSearcher:
         return self._fallback_count(query)
 
     # -- phrase --------------------------------------------------------------
-    def _search_phrase(self, query: PhraseQuery, k: int) -> TopDocs:
+    def _phrase_executors(self, field: str):
         from diagon_tpu.search.phrase import PhraseExecutor
 
-        self._ensure_resident()
-        ctx = self._ctx(query.field)
-        execs = self._phrase_execs.get(query.field)
+        ctx = self._ctx(field)
+        execs = self._phrase_execs.get(field)
         if execs is None:
-            execs = [
-                PhraseExecutor(ds, query.field, ctx.tf_lut)
-                if ds is not None and query.field in ds.fields
-                else None
-                for ds in self.device_segments
-            ]
-            self._phrase_execs[query.field] = execs
+            execs = []
+            for ds in self.device_segments:
+                ex = None
+                if ds is not None and field in ds.fields:
+                    try:
+                        ex = PhraseExecutor(ds, field, ctx.tf_lut)
+                    except ValueError:  # no positions / no host source
+                        ex = None
+                execs.append(ex)
+            self._phrase_execs[field] = execs
+        return execs
 
+    def _phrase_idf(self, query: PhraseQuery) -> float:
         # idf from the rarest term (PhraseQuery.cpp:304-338)
         min_df = self.max_doc
         for t in query.terms:
@@ -859,9 +878,14 @@ class IndexSearcher:
                 min_df = min(min_df, df)
         if min_df <= 0:
             min_df = 1
-        idf = float(
+        return float(
             self.sim.idf(min_df, self.max_doc) * np.float32(query.boost)
         )
+
+    def _search_phrase(self, query: PhraseQuery, k: int) -> TopDocs:
+        self._ensure_resident()
+        execs = self._phrase_executors(query.field)
+        idf = self._phrase_idf(query)
 
         parts: List[TopDocs] = []
         for si, ex in enumerate(execs):
