@@ -73,6 +73,10 @@ class PackedPostings:
     # per posting-entry CSR offsets into the flat positions array.
     pos_start: Optional[np.ndarray] = None  # int64 [NE+1]
     positions: Optional[np.ndarray] = None  # int32 [NP] absolute, ascending
+    # lazy position decode: read_segment defers the delta-decode +
+    # prefix-sum reconstruction (minutes of one-core CPU at 10M docs)
+    # behind this thunk; only phrase execution forces it
+    pos_loader: Optional[object] = None  # () -> (pos_start, positions)
 
     # collection stats for the field
     sum_total_tf: int = 0
@@ -81,6 +85,16 @@ class PackedPostings:
 
     # static decode-window size (words) covering any block's both sections
     max_window_words: int = 1
+
+    @property
+    def has_positions(self) -> bool:
+        return self.pos_start is not None or self.pos_loader is not None
+
+    def ensure_positions(self) -> None:
+        """Materialize pos_start/positions from the lazy loader."""
+        if self.pos_start is None and self.pos_loader is not None:
+            self.pos_start, self.positions = self.pos_loader()
+            self.pos_loader = None
 
     @property
     def num_terms(self) -> int:

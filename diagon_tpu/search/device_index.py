@@ -67,13 +67,30 @@ class DeviceField:
     pos_start_host: Optional[object] = None  # np int32 [NE+1]
     positions_host: Optional[object] = None  # np int32 [NP]
     _pos_device: Optional[object] = None
+    _pos_pp: Optional[object] = None  # PackedPostings w/ (lazy) positions
 
     @property
     def with_position_data(self) -> bool:
-        return self.pos_start_host is not None
+        return self.pos_start_host is not None or self._pos_pp is not None
 
     def ensure_positions(self) -> None:
-        """Upload position arrays to the device on first phrase use."""
+        """Upload position arrays to the device on first phrase use.
+        Two lazy layers: the HOST arrays may themselves still be a
+        deferred bundle decode (PackedPostings.pos_loader — minutes of
+        one-core CPU at 10M docs), forced here, then uploaded."""
+        if self.pos_start_host is None and self._pos_pp is not None:
+            pp = self._pos_pp
+            pp.ensure_positions()
+            if pp.pos_start is not None:
+                self.pos_start_host = pp.pos_start.astype(np.int32)
+                pos = pp.positions
+                if len(pos) == 0:
+                    pos = np.zeros(1, dtype=np.int32)
+                self.positions_host = np.asarray(pos, dtype=np.int32)
+                counts = np.diff(pp.pos_start)
+                self.max_positions_per_entry = (
+                    int(counts.max()) if len(counts) else 0
+                )
         if self.pos_start is None and self.pos_start_host is not None:
             self.pos_start = jax.device_put(
                 jnp.asarray(self.pos_start_host), self._pos_device
@@ -148,15 +165,11 @@ def load_field(fd: SegmentFieldData, num_docs_pad: int, device=None) -> DeviceFi
         norms=dev(norms32),
     )
 
-    if pp.pos_start is not None:
-        field.pos_start_host = pp.pos_start.astype(np.int32)
-        pos = pp.positions
-        if len(pos) == 0:
-            pos = np.zeros(1, dtype=np.int32)
-        field.positions_host = np.asarray(pos, dtype=np.int32)
+    if pp.has_positions:
+        # host decode AND device upload both deferred to first phrase
+        # use (DeviceField.ensure_positions)
+        field._pos_pp = pp
         field._pos_device = device
-        counts = np.diff(pp.pos_start)
-        field.max_positions_per_entry = int(counts.max()) if len(counts) else 0
     return field
 
 

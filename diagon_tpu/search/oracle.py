@@ -153,9 +153,10 @@ class OracleSearcher:
     ) -> Tuple[np.ndarray, List[np.ndarray]]:
         """(docids, per-doc position arrays) for a term."""
         fd = seg.fields.get(field)
-        if fd is None or fd.postings.pos_start is None:
+        if fd is None or not fd.postings.has_positions:
             return np.zeros(0, np.int32), []
         pp = fd.postings
+        pp.ensure_positions()
         tid = pp.term_id(text)
         if tid < 0:
             return np.zeros(0, np.int32), []

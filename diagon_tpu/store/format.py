@@ -153,6 +153,51 @@ def _unpack_strings(blob: np.ndarray, offs: np.ndarray) -> List[bytes]:
     return [raw[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]
 
 
+class LazyStoredRows:
+    """Stored-field rows decoded ON ACCESS (the reference's .fdt role:
+    stored fields are only touched by SegmentReader.document()). Eagerly
+    json-parsing every row at read_segment time cost ~5 s per 1M docs of
+    reader-open latency; this defers the zlib decompress to first touch
+    and the JSON parse to the accessed row. Supports the list protocol
+    the reader/merger use (len, index, iterate)."""
+
+    def __init__(self, zbytes: np.ndarray, offs: np.ndarray,
+                 compressed: bool = True):
+        self._raw = zbytes
+        self._off = offs
+        self._compressed = compressed
+        self._blob = None
+
+    def _bytes(self) -> bytes:
+        if self._blob is None:
+            b = self._raw.tobytes()
+            self._blob = zlib.decompress(b) if self._compressed else b
+            self._raw = None
+        return self._blob
+
+    def __len__(self) -> int:
+        return len(self._off) - 1
+
+    def __getitem__(self, i):
+        n = len(self)
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(n))]
+        if i < 0:
+            i += n
+        if not 0 <= i < n:
+            raise IndexError(i)
+        b = self._bytes()
+        return json.loads(b[self._off[i] : self._off[i + 1]])
+
+    def __iter__(self):
+        b = self._bytes()
+        for i in range(len(self)):
+            yield json.loads(b[self._off[i] : self._off[i + 1]])
+
+    def __bool__(self) -> bool:
+        return len(self) > 0
+
+
 def _front_code(strings: List[bytes]) -> Dict[str, np.ndarray]:
     """Front-coded sorted term dictionary (the role of the reference's
     BlockTree prefix sharing, BlockTreeTermsWriter.h:30-47): per term a
@@ -290,6 +335,7 @@ def write_segment(directory, seg: SegmentData) -> List[str]:
         w.add(p + "block_max_norm", pp.block_max_norm.astype(np.uint8))
         w.add(p + "packed", pp.packed)
         w.add(p + "norms", fd.norms)
+        pp.ensure_positions()  # materialize lazily-loaded positions
         if pp.pos_start is not None:
             # Disk form: per-entry position DELTAS (first of an entry
             # absolute) as u16, zlib-compressed. pos_start is NOT stored —
@@ -368,6 +414,65 @@ def write_segment(directory, seg: SegmentData) -> List[str]:
         directory.write_bytes(liv, np.packbits(seg.live_docs).tobytes())
         files.append(liv)
     return files
+
+
+def _make_pos_loader(pp, z_arr, npos, pos_enc):
+    """Deferred zd16/zd16p position reconstruction (see read_segment)."""
+
+    def load():
+        raw = zlib.decompress(z_arr.tobytes())
+        freqs_all = _decode_freqs_all(pp)
+        pos_start = np.zeros(len(freqs_all) + 1, dtype=np.int64)
+        np.cumsum(freqs_all, out=pos_start[1:])
+        if npos == 0:
+            return pos_start, np.zeros(0, dtype=np.int32)
+        if pos_enc == "zd16p":
+            half = len(raw) // 2
+            try:
+                from diagon_tpu.native import _native as _nat
+            except Exception:  # pragma: no cover
+                _nat = None
+            if _nat is not None and hasattr(_nat, "positions_from_deltas"):
+                positions = np.frombuffer(
+                    _nat.positions_from_deltas(
+                        raw[:half],
+                        raw[half:],
+                        np.ascontiguousarray(freqs_all, np.int32).tobytes(),
+                    ),
+                    np.int32,
+                )
+            else:
+                lo = np.frombuffer(raw[:half], np.uint8).astype(np.int64)
+                hi = np.frombuffer(raw[half:], np.uint8).astype(np.int64)
+                positions = _positions_from_deltas_numpy(
+                    lo | (hi << 8), freqs_all, pos_start
+                )
+        else:
+            deltas = np.frombuffer(raw, np.uint16).astype(np.int64)
+            positions = _positions_from_deltas_numpy(
+                deltas, freqs_all, pos_start
+            )
+        return pos_start, positions
+
+    return load
+
+
+def _make_packed_pos_loader(pp, packed_arr, pos_bits, pos_count):
+    """Deferred fixed-width position reconstruction (format 1)."""
+
+    def load():
+        from diagon_tpu.codecs.bitpack import unpack_u32_numpy
+        from diagon_tpu.codecs.postings import decode_all_numpy
+
+        positions = unpack_u32_numpy(
+            packed_arr, pos_bits, pos_count
+        ).astype(np.int32)
+        _, freqs_all = decode_all_numpy(pp)
+        pos_start = np.zeros(len(freqs_all) + 1, dtype=np.int64)
+        np.cumsum(freqs_all, out=pos_start[1:])
+        return pos_start, positions
+
+    return load
 
 
 def read_segment(directory, name: str, verify_checksums: bool = False) -> SegmentData:
@@ -469,58 +574,19 @@ def read_segment(directory, name: str, verify_checksums: bool = False) -> Segmen
                 max_window_words=fmeta["max_window_words"],
             )
         if fmeta.get("pos_enc") in ("zd16", "zd16p"):
-            npos = fmeta["pos_count"]
-            raw = zlib.decompress(r.array(p + "positions_z").tobytes())
-            freqs_all = _decode_freqs_all(pp)
-            pos_start = np.zeros(len(freqs_all) + 1, dtype=np.int64)
-            np.cumsum(freqs_all, out=pos_start[1:])
-            pp.pos_start = pos_start
-            if npos == 0:
-                pp.positions = np.zeros(0, dtype=np.int32)
-            elif fmeta["pos_enc"] == "zd16p":
-                half = len(raw) // 2
-                try:
-                    from diagon_tpu.native import _native as _nat
-                except Exception:  # pragma: no cover
-                    _nat = None
-                if _nat is not None and hasattr(
-                    _nat, "positions_from_deltas"
-                ):
-                    pp.positions = np.frombuffer(
-                        _nat.positions_from_deltas(
-                            raw[:half],
-                            raw[half:],
-                            np.ascontiguousarray(
-                                freqs_all, np.int32
-                            ).tobytes(),
-                        ),
-                        np.int32,
-                    )
-                else:
-                    lo = np.frombuffer(raw[:half], np.uint8).astype(np.int64)
-                    hi = np.frombuffer(raw[half:], np.uint8).astype(np.int64)
-                    deltas = lo | (hi << 8)
-                    pp.positions = _positions_from_deltas_numpy(
-                        deltas, freqs_all, pos_start
-                    )
-            else:
-                deltas = np.frombuffer(raw, np.uint16).astype(np.int64)
-                pp.positions = _positions_from_deltas_numpy(
-                    deltas, freqs_all, pos_start
-                )
+            # LAZY position reconstruction: the delta decode + prefix
+            # sum cost minutes of one-core CPU at 10M docs and only
+            # phrase execution needs the arrays (reference readers also
+            # open .pos lazily). Captures only mmap views + metadata.
+            pp.pos_loader = _make_pos_loader(
+                pp, r.array(p + "positions_z"), fmeta["pos_count"],
+                fmeta["pos_enc"],
+            )
         elif "pos_bits" in fmeta:
-            from diagon_tpu.codecs.bitpack import unpack_u32_numpy
-            from diagon_tpu.codecs.postings import decode_all_numpy
-
-            pp.positions = unpack_u32_numpy(
-                r.array(p + "positions_packed"),
-                fmeta["pos_bits"],
+            pp.pos_loader = _make_packed_pos_loader(
+                pp, r.array(p + "positions_packed"), fmeta["pos_bits"],
                 fmeta["pos_count"],
-            ).astype(np.int32)
-            _, freqs_all = decode_all_numpy(pp)
-            pos_start = np.zeros(len(freqs_all) + 1, dtype=np.int64)
-            np.cumsum(freqs_all, out=pos_start[1:])
-            pp.pos_start = pos_start
+            )
         seg.fields[fname] = SegmentFieldData(
             postings=pp,
             norms=r.array(p + "norms"),
@@ -553,14 +619,16 @@ def read_segment(directory, name: str, verify_checksums: bool = False) -> Segmen
         )
 
     if r.has("stored.zbytes"):
-        blob = np.frombuffer(
-            zlib.decompress(r.array("stored.zbytes").tobytes()), np.uint8
+        seg.stored = LazyStoredRows(
+            r.array("stored.zbytes"),
+            r.array("stored.offsets").astype(np.int64),
         )
-        rows = _unpack_strings(blob, r.array("stored.offsets"))
-        seg.stored = [json.loads(b) for b in rows]
     elif r.has("stored.bytes"):  # pre-compression bundles
-        rows = _unpack_strings(r.array("stored.bytes"), r.array("stored.offsets"))
-        seg.stored = [json.loads(b) for b in rows]
+        seg.stored = LazyStoredRows(
+            r.array("stored.bytes"),
+            r.array("stored.offsets").astype(np.int64),
+            compressed=False,
+        )
 
     if directory.file_exists(f"{name}.liv"):
         bits = np.frombuffer(

@@ -133,10 +133,15 @@ def test_segment_roundtrip(tmp_path, dir_kind):
             np.testing.assert_array_equal(da, db)
             np.testing.assert_array_equal(fa, fb)
 
-    # positions
+    # positions (decoded lazily on read — force them first)
+    got.fields["body"].postings.ensure_positions()
     np.testing.assert_array_equal(
         seg.fields["body"].postings.positions,
         got.fields["body"].postings.positions,
+    )
+    np.testing.assert_array_equal(
+        seg.fields["body"].postings.pos_start,
+        got.fields["body"].postings.pos_start,
     )
     # doc values incl ords
     np.testing.assert_array_equal(
