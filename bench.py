@@ -406,15 +406,17 @@ def _run(args, holder):
 
     scale_records = {}
     for docs, min_need in ((1_000_000, 150), (10_000_000, 220)):
-        cache = os.path.join(CACHE_DIR, f"segment_{docs}.pkl")
+        cached = os.path.isdir(
+            os.path.join(CACHE_DIR, f"segment_{docs}.bnd.d")
+        ) or os.path.exists(os.path.join(CACHE_DIR, f"segment_{docs}.pkl"))
         if args.quick or remaining() < min_need:
             if not args.quick:
                 log(f"skipping {docs}-doc tier (remaining {remaining():.0f}s"
                     f" < {min_need}s)")
             continue
-        if not os.path.exists(cache):
+        if not cached:
             log(f"skipping {docs}-doc tier (no cached segment — "
-                "scripts/build_scale_segment.py)")
+                "scripts/build_scale.py)")
             continue
         tag = f"{docs // 1_000_000}m"
         try:

@@ -62,7 +62,14 @@ def main():
                     help="dispatches per timing chain")
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.expanduser("~/.cache/diagon_tpu"), "jax_cache"),
+    )
 
     from diagon_tpu.columnar import DeviceTable, read_table, write_table
     from diagon_tpu.store import RAMDirectory

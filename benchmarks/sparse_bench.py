@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -32,6 +33,13 @@ def main():
                     help="serving batch size")
     args = ap.parse_args()
 
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.expanduser("~/.cache/diagon_tpu"), "jax_cache"),
+    )
+
     from diagon_tpu.sparse import SparseIndex, SparseSearcher, SparseVector
 
     rng = np.random.Generator(np.random.PCG64(5))
@@ -39,7 +47,6 @@ def main():
     probs = 1.0 / np.arange(1, args.vocab + 1) ** 1.05
     probs /= probs.sum()
 
-    import os
     import pickle
 
     cache_dir = os.path.expanduser("~/.cache/diagon_tpu")

@@ -50,28 +50,47 @@ class SparseIndex:
 
     @staticmethod
     def build(vectors: Sequence[SparseVector], name: str = "_sparse") -> "SparseIndex":
-        by_term: Dict[int, Tuple[List[int], List[float]]] = {}
-        for doc_id, vec in enumerate(vectors):
-            for t, w in zip(vec.ids, vec.values):
-                e = by_term.setdefault(int(t), ([], []))
-                e[0].append(doc_id)
-                e[1].append(float(w))
+        # flatten all (term, doc, weight) triples, then one stable sort by
+        # term groups the postings — vectorized CSR build (a per-posting
+        # python append loop costs minutes at SPLADE-scale nnz)
+        counts = np.fromiter(
+            (len(v.ids) for v in vectors), dtype=np.int64, count=len(vectors)
+        )
+        terms = (
+            np.concatenate([np.asarray(v.ids, np.int64) for v in vectors])
+            if len(vectors)
+            else np.zeros(0, np.int64)
+        )
+        weights = (
+            np.concatenate(
+                [np.asarray(v.values, np.float32) for v in vectors]
+            )
+            if len(vectors)
+            else np.zeros(0, np.float32)
+        )
+        doc_ids = np.repeat(np.arange(len(vectors), dtype=np.int64), counts)
+        order = np.argsort(terms, kind="stable")  # doc order kept per term
+        terms, doc_ids, weights = terms[order], doc_ids[order], weights[order]
+        uniq, starts = np.unique(terms, return_index=True)
+        bounds = np.append(starts, len(terms))
 
         postings = {}
         scales: Dict[str, float] = {}
         exact: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
-        for t, (docs, ws) in by_term.items():
-            key = str(t)
-            ws_arr = np.asarray(ws, dtype=np.float32)
+        for i, t in enumerate(uniq):
+            key = str(int(t))
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            docs = doc_ids[lo:hi]
+            ws_arr = weights[lo:hi]
             scale = float(ws_arr.max()) / NUM_BINS if len(ws_arr) else 1.0
             if scale <= 0:
                 scale = 1.0
             bins = np.clip(
                 np.round(ws_arr / np.float32(scale)), 1, NUM_BINS
             ).astype(np.int64)
-            postings[key] = (np.asarray(docs, dtype=np.int64), bins)
+            postings[key] = (docs, bins)
             scales[key] = scale
-            exact[key] = (np.asarray(docs, dtype=np.int32), ws_arr)
+            exact[key] = (docs.astype(np.int32), ws_arr)
 
         pp = build_packed_postings(postings)
         pp.doc_count_with_field = len(vectors)

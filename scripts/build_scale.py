@@ -10,7 +10,6 @@ Usage: python scripts/build_scale.py --docs 10000000
 
 import argparse
 import os
-import pickle
 import sys
 import time
 
@@ -26,9 +25,9 @@ def main():
     args = ap.parse_args()
 
     os.makedirs(CACHE_DIR, exist_ok=True)
-    cache = os.path.join(CACHE_DIR, f"segment_{args.docs}.pkl")
-    if os.path.exists(cache) and not args.force:
-        print(f"already cached: {cache}")
+    bnd_dir = os.path.join(CACHE_DIR, f"segment_{args.docs}.bnd.d")
+    if os.path.isdir(bnd_dir) and not args.force:
+        print(f"already cached: {bnd_dir}")
         return
 
     from diagon_tpu.bench.synthetic import corpus_documents
@@ -55,12 +54,31 @@ def main():
     }
     print(f"ingest {t_ingest:.1f}s flush {t_flush:.1f}s "
           f"= {stats['docs_per_s']:,} docs/s e2e", flush=True)
+    # write the .bnd bundle directly (the engine's own mmap-loadable
+    # on-disk format) — a 10M-doc pickle is ~19 GB and costs minutes of
+    # one-core dump/load; the bundle loads in seconds
+    import json
+
+    from diagon_tpu.store import FSDirectory
+    from diagon_tpu.store.format import write_segment
+
     t0 = time.time()
-    with open(cache + ".tmp", "wb") as f:
-        pickle.dump((seg, stats), f, protocol=4)
-    os.replace(cache + ".tmp", cache)
-    print(f"cached {cache} ({os.path.getsize(cache)/1e9:.1f} GB, "
-          f"dump {time.time()-t0:.1f}s)", flush=True)
+    tmp = bnd_dir + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    write_segment(FSDirectory(tmp), seg)
+    with open(os.path.join(tmp, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    if os.path.isdir(bnd_dir):
+        import shutil
+
+        shutil.rmtree(bnd_dir)
+    os.replace(tmp, bnd_dir)
+    size = sum(
+        os.path.getsize(os.path.join(bnd_dir, f))
+        for f in os.listdir(bnd_dir)
+    )
+    print(f"cached {bnd_dir} ({size/1e9:.1f} GB, "
+          f"write {time.time()-t0:.1f}s)", flush=True)
 
 
 if __name__ == "__main__":
