@@ -10,9 +10,11 @@ from diagon_tpu.analysis.tokenizers import (  # noqa: F401
     standard_tokenize,
     whitespace_tokenize,
     keyword_tokenize,
+    cjk_bigram_tokenize,
     StandardTokenizer,
     WhitespaceTokenizer,
     KeywordTokenizer,
+    CJKBigramTokenizer,
 )
 from diagon_tpu.analysis.filters import (  # noqa: F401
     LowercaseFilter,
@@ -20,6 +22,7 @@ from diagon_tpu.analysis.filters import (  # noqa: F401
     SynonymFilter,
     ASCIIFoldingFilter,
     ENGLISH_STOP_WORDS,
+    CHINESE_STOP_WORDS,
 )
 from diagon_tpu.analysis.analyzer import (  # noqa: F401
     Analyzer,
@@ -27,5 +30,10 @@ from diagon_tpu.analysis.analyzer import (  # noqa: F401
     StandardAnalyzer,
     WhitespaceAnalyzer,
     KeywordAnalyzer,
+    EnglishAnalyzer,
+    SimpleAnalyzer,
+    SearchAnalyzer,
+    MultilingualAnalyzer,
+    ChineseAnalyzer,
     analyzer_for_name,
 )

@@ -1,9 +1,10 @@
 """Analyzer = tokenizer + filter chain, plus the prebuilt factory.
 
 Mirrors the reference's ``analysis/Analyzer.h`` ``CompositeAnalyzer`` and
-``AnalyzerFactory.cpp:14-89`` (whitespace / keyword / simple / standard /
-english / search prebuilt analyzers; the reference's chinese/multilingual
-Jieba analyzers are out of scope per SURVEY.md section 7).
+``AnalyzerFactory.cpp:14-89`` — all 8 prebuilt analyzers: whitespace /
+keyword / simple / standard / english / search / multilingual / chinese
+(the chinese analyzer replaces cppjieba dictionary segmentation with a
+self-contained CJK bigram tokenizer; see ``tokenizers.cjk_bigram_tokenize``).
 """
 
 from __future__ import annotations
@@ -12,12 +13,14 @@ from typing import List, Sequence
 
 from diagon_tpu.analysis.filters import (
     ASCIIFoldingFilter,
+    CHINESE_STOP_WORDS,
     ENGLISH_STOP_WORDS,
     LowercaseFilter,
     StopFilter,
     TokenFilter,
 )
 from diagon_tpu.analysis.tokenizers import (
+    CJKBigramTokenizer,
     KeywordTokenizer,
     StandardTokenizer,
     WhitespaceTokenizer,
@@ -59,8 +62,14 @@ class KeywordAnalyzer(CompositeAnalyzer):
 
 
 class EnglishAnalyzer(CompositeAnalyzer):
+    """Standard tokenizer (lowercases) + ASCII folding + English stops
+    (reference ``AnalyzerFactory::createEnglish``)."""
+
     def __init__(self):
-        super().__init__(StandardTokenizer(), [StopFilter(ENGLISH_STOP_WORDS)])
+        super().__init__(
+            StandardTokenizer(),
+            [ASCIIFoldingFilter(), StopFilter(ENGLISH_STOP_WORDS)],
+        )
 
 
 class SimpleAnalyzer(CompositeAnalyzer):
@@ -69,8 +78,37 @@ class SimpleAnalyzer(CompositeAnalyzer):
 
 
 class SearchAnalyzer(CompositeAnalyzer):
+    """Query-side chain: folding + stops (``createSearch``)."""
+
+    def __init__(self):
+        super().__init__(
+            StandardTokenizer(),
+            [ASCIIFoldingFilter(), StopFilter(ENGLISH_STOP_WORDS)],
+        )
+
+
+class MultilingualAnalyzer(CompositeAnalyzer):
+    """Standard tokenizer + ASCII folding, no language-specific stops
+    (``createMultilingual``); the tokenizer emits Han/Hiragana ideographs
+    one-per-token like the reference's ICU path."""
+
     def __init__(self):
         super().__init__(StandardTokenizer(), [ASCIIFoldingFilter()])
+
+
+class ChineseAnalyzer(CompositeAnalyzer):
+    """CJK bigram tokenizer + Chinese stop words.
+
+    The reference's ``createChinese`` wraps cppjieba MIX-mode dictionary
+    segmentation (``JiebaTokenizer.h:40-46``); this redesign uses
+    overlapping CJK bigrams (Lucene-CJKAnalyzer scheme) which need no
+    dictionary and preserve phrase/boolean recall.
+    """
+
+    def __init__(self):
+        super().__init__(
+            CJKBigramTokenizer(), [StopFilter(CHINESE_STOP_WORDS)]
+        )
 
 
 _FACTORY = {
@@ -80,6 +118,8 @@ _FACTORY = {
     "english": EnglishAnalyzer,
     "simple": SimpleAnalyzer,
     "search": SearchAnalyzer,
+    "multilingual": MultilingualAnalyzer,
+    "chinese": ChineseAnalyzer,
 }
 
 

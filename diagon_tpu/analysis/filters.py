@@ -21,6 +21,21 @@ ENGLISH_STOP_WORDS = frozenset(
 )
 
 
+# Common Chinese function-word stop set (reference StopFilter.cpp
+# StopWordSet::CHINESE plays the same role for its Jieba word stream).
+# Under bigram tokenization single-character entries match length-1 CJK
+# runs and two-character entries match their bigram token directly.
+CHINESE_STOP_WORDS = frozenset(
+    [
+        "的", "了", "在", "是", "我", "有", "和", "就", "不", "人", "都",
+        "一", "上", "也", "很", "到", "说", "要", "去", "你", "会", "着",
+        "没", "看", "好", "这", "那", "与", "为", "对", "而", "且", "或",
+        "一个", "我们", "你们", "他们", "什么", "这个", "那个", "因为",
+        "所以", "但是", "如果", "虽然", "可以", "没有", "就是", "这样",
+    ]
+)
+
+
 class TokenFilter:
     def filter(self, tokens: List[str]) -> List[str]:
         raise NotImplementedError

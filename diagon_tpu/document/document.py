@@ -16,7 +16,7 @@ for parity:
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass, field as dc_field, replace
 from typing import List, Optional, Sequence, Union
 
 from diagon_tpu.analysis.tokenizers import standard_tokenize
@@ -46,6 +46,10 @@ class FieldType:
     doc_values_type: DocValuesType = DocValuesType.NONE
     point_dims: int = 0
     point_bytes: int = 0
+    # Named analyzer from analysis.analyzer_for_name; "standard" keeps the
+    # native ASCII fast path (reference fields carry an Analyzer the same
+    # way, Field.h:91 -> AnalyzerFactory).
+    analyzer: str = "standard"
 
 
 class Field:
@@ -62,6 +66,12 @@ class Field:
             return []
         if not self.type.tokenized:
             return [str(self.value)]
+        if self.type.analyzer != "standard":
+            from diagon_tpu.analysis.analyzer import analyzer_for_name
+
+            return analyzer_for_name(self.type.analyzer).analyze(
+                str(self.value)
+            )
         return standard_tokenize(str(self.value))
 
     def __repr__(self):
@@ -84,8 +94,15 @@ STRING_FIELD_TYPE = FieldType(
 
 
 class TextField(Field):
-    def __init__(self, name: str, value: str, ftype: Optional[FieldType] = None):
-        super().__init__(name, value, ftype or TEXT_FIELD_TYPE)
+    def __init__(self, name: str, value: str, ftype: Optional[FieldType] = None,
+                 analyzer: str = "standard"):
+        if ftype is None:
+            ftype = (
+                TEXT_FIELD_TYPE
+                if analyzer == "standard"
+                else replace(TEXT_FIELD_TYPE, analyzer=analyzer)
+            )
+        super().__init__(name, value, ftype)
 
 
 class StringField(Field):

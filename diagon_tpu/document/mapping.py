@@ -25,6 +25,7 @@ class FieldMapping:
     stored: bool = False
     tokenized: bool = False
     is_array: bool = False
+    analyzer: str = "standard"
 
     def to_field_type(self) -> FieldType:
         return FieldType(
@@ -32,6 +33,7 @@ class FieldMapping:
             stored=self.stored,
             tokenized=self.tokenized,
             doc_values_type=self.doc_values_type,
+            analyzer=self.analyzer,
         )
 
 
@@ -43,13 +45,16 @@ class IndexMapping:
         self._fields[name] = mapping
         return self
 
-    def text(self, name: str, stored: bool = False) -> "IndexMapping":
+    def text(
+        self, name: str, stored: bool = False, analyzer: str = "standard"
+    ) -> "IndexMapping":
         return self.add_field(
             name,
             FieldMapping(
                 index_options=IndexOptions.DOCS_AND_FREQS_AND_POSITIONS,
                 stored=stored,
                 tokenized=True,
+                analyzer=analyzer,
             ),
         )
 

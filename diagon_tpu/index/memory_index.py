@@ -127,6 +127,7 @@ class MemoryIndex:
         if (
             _native_mod is not None
             and f.type.tokenized
+            and f.type.analyzer == "standard"
             and type(f).tokenize is Field.tokenize
             and isinstance(f.value, str)
             and f.value.isascii()
