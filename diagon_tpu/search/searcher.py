@@ -126,7 +126,12 @@ class IndexSearcher:
         # Accept a DirectoryReader (duck-typed to avoid an import cycle).
         if hasattr(segments, "segments_data"):
             segments = segments.segments_data()
-        segments = list(segments)
+        segments = [
+            # ...and reader.leaves() LeafReaderContext entries
+            s.reader.data if hasattr(s, "reader") and hasattr(s, "doc_base")
+            else s
+            for s in segments
+        ]
         self._device = device
         self._tier = None
         # caches must exist before tier promotion callbacks can fire

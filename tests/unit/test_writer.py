@@ -296,3 +296,18 @@ def test_merge_preserves_doc_values_and_points(tmp_path):
     # sorted doc values ord table intact
     dv = r.segments_data()[0].doc_values["cat"]
     assert dv.ord_values == [b"a", b"b", b"c"]
+
+
+def test_searcher_accepts_leaf_contexts(tmp_path):
+    from diagon_tpu.document import Document, TextField
+    from diagon_tpu.index import DirectoryReader, IndexWriter
+    from diagon_tpu.search import IndexSearcher, TermQuery
+    from diagon_tpu.store import FSDirectory
+
+    w = IndexWriter(FSDirectory(str(tmp_path)))
+    w.add_document(Document().add(TextField("b", "alpha beta")))
+    w.commit()
+    w.close()
+    r = DirectoryReader.open(FSDirectory(str(tmp_path)))
+    s = IndexSearcher(r.leaves())  # LeafReaderContext list, like the ref API
+    assert s.search(TermQuery("b", "alpha"), k=5).total_hits == 1
