@@ -421,19 +421,30 @@ def _run(args, holder):
         tag = f"{docs // 1_000_000}m"
         try:
             t0 = time.time()
-            proc = subprocess.run(
-                [sys.executable, "benchmarks/scale_bench.py",
-                 "--docs", str(docs), "--batch", str(Q)],
-                capture_output=True, text=True,
-                timeout=max(60, remaining() - 30),
-            )
-            sys.stderr.write(proc.stderr[-4000:])
-            line = (
-                proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
-            )
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "benchmarks/scale_bench.py",
+                     "--docs", str(docs), "--batch", str(Q)],
+                    capture_output=True, text=True,
+                    timeout=max(60, remaining() - 30),
+                )
+                tier_out, tier_err = proc.stdout, proc.stderr
+                tier_rc = proc.returncode
+            except subprocess.TimeoutExpired as texc:
+                # scale_bench prints an interim JSON line after the or20
+                # phase — recover it from the partial stdout
+                def _s(b):
+                    return b.decode(errors="replace") if isinstance(
+                        b, bytes) else (b or "")
+                tier_out, tier_err = _s(texc.stdout), _s(texc.stderr)
+                tier_rc = "timeout"
+            sys.stderr.write(tier_err[-4000:])
+            lines = [ln for ln in tier_out.strip().splitlines()
+                     if ln.startswith("{")]
+            line = lines[-1] if lines else ""
             if not line.startswith("{"):
                 raise RuntimeError(
-                    f"rc={proc.returncode} tail={proc.stderr[-200:]!r}"
+                    f"rc={tier_rc} tail={tier_err[-200:]!r}"
                 )
             tier = json.loads(line)
             for key in ("or20_qps", "or20_vs_baseline", "mixed_qps",

@@ -110,6 +110,10 @@ def main():
     log(f"or20 trials ms/batch: {[round(t * 1e3, 2) for t in ts]}")
     out["or20_qps"] = round(qps)
     out["or20_vs_baseline"] = round(qps / BASELINE_OR20_QPS, 2)
+    # interim line: if the mixed phase below blows the caller's subprocess
+    # cap (compile + OOM retries at 10M), the or20 tier result is already
+    # on stdout for bench.py to recover
+    print(json.dumps(out), flush=True)
 
     if not args.skip_mixed:
         # the batch's vocabulary banks (~10 B/doc/row) must fit HBM next
