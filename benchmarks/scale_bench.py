@@ -127,7 +127,7 @@ def main():
         huge = seg.num_docs >= 4 << 20
         pools = (
             [args.mixed_pool] if args.mixed_pool
-            else ([48, 32] if huge else [160])
+            else ([32] if huge else [160])
         )
         for pool_n in pools:
             try:
