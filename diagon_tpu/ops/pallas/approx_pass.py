@@ -85,13 +85,18 @@ def _kernel_or(at_ref, bank_ref, live_ref, tmax_ref, hits_ref):
 
 
 def _kernel_bool(
-    asc_ref, arq_ref, ash_ref, ang_ref, bank_ref, pres_ref, params_ref,
+    asc_ref, arq_ref, ash_ref, ang_ref, bank_ref, params_ref,
     live_ref, tmax_ref, hits_ref,
 ):
     """General-boolean phase 1: approx score + EXACT per-doc clause
     presence counts (0/1 products accumulate exactly in f32), reduced to
     feasibility-gated tile maxima and exact hit counts. params rows:
     0 = num_required, 1 = min_should.
+
+    The 0/1 presence tile is DERIVED from the score bank in-VMEM
+    ((bank > 0) — identical values to the materialized presence bank
+    this replaces), so the boolean phase reads ONE bank from HBM
+    instead of two and the batch never stores a presence copy.
 
     Grid is (query-blocks, doc-chunks) with the doc axis INNER so the
     accumulating hits block stays VMEM-resident across consecutive
@@ -101,10 +106,14 @@ def _kernel_bool(
     bank is re-read once per query block — the price of exact
     accumulation; QB=256 keeps that at <= ceil(Q/256) bank reads."""
     c = pl.program_id(1)
-    ap = _dot_ct(bank_ref[...], asc_ref[...])  # [CH, Q]
-    rc = _dot_ct(pres_ref[...], arq_ref[...])
-    oc = _dot_ct(pres_ref[...], ash_ref[...])
-    nc = _dot_ct(pres_ref[...], ang_ref[...])
+    bank = bank_ref[...]
+    pres = jnp.where(
+        bank > 0, jnp.bfloat16(1.0), jnp.bfloat16(0.0)
+    )
+    ap = _dot_ct(bank, asc_ref[...])  # [CH, Q]
+    rc = _dot_ct(pres, arq_ref[...])
+    oc = _dot_ct(pres, ash_ref[...])
+    nc = _dot_ct(pres, ang_ref[...])
     nreq = params_ref[0:1, :]  # [1, Q] broadcasts over [ng, 128, Q]
     msm = params_ref[1:2, :]
     q = ap.shape[1]
@@ -182,7 +191,7 @@ def pallas_approx_select(
 
 
 def _kernel_bool2(
-    asc_ref, acb_ref, bank_ref, pres_ref, params_ref, live_ref,
+    asc_ref, acb_ref, bank_ref, params_ref, live_ref,
     tmax_ref, hits_ref,
 ):
     """No-negation boolean phase 1 with the required/should presence
@@ -192,10 +201,16 @@ def _kernel_bool2(
     digits are NOT bf16-exact) — and the f32 product decodes back to
     exact counts (cc = rc*256 + oc <= 64*256 + 64 < 2^24). Halves the
     phase-1 matmuls of the general boolean kernel for the dominant
-    no-MUST_NOT query population."""
+    no-MUST_NOT query population. Presence is derived in-VMEM from the
+    score bank ((bank > 0), bit-identical to the old materialized
+    copy), so the bank is read from HBM once."""
     c = pl.program_id(1)
-    ap = _dot_ct(bank_ref[...], asc_ref[...])  # [CH, Q]
-    cc = _dot_ct(pres_ref[...], acb_ref[...])  # [CH, Q] rc*256 + oc
+    bank = bank_ref[...]
+    pres = jnp.where(
+        bank > 0, jnp.bfloat16(1.0), jnp.bfloat16(0.0)
+    )
+    ap = _dot_ct(bank, asc_ref[...])  # [CH, Q]
+    cc = _dot_ct(pres, acb_ref[...])  # [CH, Q] rc*256 + oc
     nreq = params_ref[0:1, :]
     msm = params_ref[1:2, :]
     q = ap.shape[1]
@@ -229,14 +244,14 @@ def pallas_approx_select_bool2(
     a_sc_t: jnp.ndarray,  # bf16 [U8, Q]
     a_cb_t: jnp.ndarray,  # bf16 [U8, Q] combined rq*256 + sh indicator
     bank: jnp.ndarray,  # bf16 [U8, D]
-    presence: jnp.ndarray,  # bf16 [U8, D]
     params_t: jnp.ndarray,  # f32 [8, Q]
     live: jnp.ndarray,  # f32 [D]
     *,
     interpret: bool = False,
 ):
     """(feasibility-gated tile_max f32 [Q, S], exact hits i32 [Q]) for
-    no-MUST_NOT boolean batches — 2 matmuls instead of 4."""
+    no-MUST_NOT boolean batches — 2 matmuls instead of 4, one bank read
+    (presence derived in-kernel)."""
     U8, Q = a_sc_t.shape
     _, D = bank.shape
     QB = min(128 if Q <= 128 else 256, _round_up(Q, 128))
@@ -259,7 +274,6 @@ def pallas_approx_select_bool2(
             pl.BlockSpec((U8, QB), amap),
             pl.BlockSpec((U8, QB), amap),
             pl.BlockSpec((U8, chunk), bmap),
-            pl.BlockSpec((U8, chunk), bmap),
             pl.BlockSpec((8, QB), amap),
             pl.BlockSpec((ng, 128), lambda qb, c: (c, 0)),
         ],
@@ -275,7 +289,7 @@ def pallas_approx_select_bool2(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(a_sc_t, a_cb_t, bank, presence, params_t, live2)
+    )(a_sc_t, a_cb_t, bank, params_t, live2)
     return tmax_t[:, :Q].T, hits[0, :Q]
 
 
@@ -285,13 +299,13 @@ def pallas_approx_select_bool(
     a_sh_t: jnp.ndarray,
     a_ng_t: jnp.ndarray,
     bank: jnp.ndarray,  # bf16 [U8, D] compact score bank
-    presence: jnp.ndarray,  # bf16 [U8, D] compact 0/1 presence bank
     params_t: jnp.ndarray,  # f32 [8, Q] rows 0=num_required, 1=min_should
     live: jnp.ndarray,  # f32 [D]
     *,
     interpret: bool = False,
 ):
-    """(feasibility-gated tile_max f32 [Q, S], exact hits i32 [Q])."""
+    """(feasibility-gated tile_max f32 [Q, S], exact hits i32 [Q]);
+    presence derived in-kernel from the score bank."""
     U8, Q = a_sc_t.shape
     _, D = bank.shape
     # query block: 4 [CH, QB] f32 products + masks in VMEM at once
@@ -322,7 +336,6 @@ def pallas_approx_select_bool(
             pl.BlockSpec((U8, QB), amap),
             pl.BlockSpec((U8, QB), amap),
             pl.BlockSpec((U8, chunk), bmap),
-            pl.BlockSpec((U8, chunk), bmap),
             pl.BlockSpec((8, QB), amap),
             pl.BlockSpec((ng, 128), lambda qb, c: (c, 0)),
         ],
@@ -338,5 +351,5 @@ def pallas_approx_select_bool(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(a_sc_t, a_rq_t, a_sh_t, a_ng_t, bank, presence, params_t, live2)
+    )(a_sc_t, a_rq_t, a_sh_t, a_ng_t, bank, params_t, live2)
     return tmax_t[:, :Q].T, hits[0, :Q]

@@ -116,8 +116,9 @@ def _sharded_compact_build(heavy_banks, light_banks, srcidx, *, mesh, axis):
     light banks (``srcidx`` row 0 is the shared zero row, ``1+h`` heavy
     row h, ``1+H+j`` light row j) — the rows are the exact f32 rows the
     exhaustive program reads, so the pruned rescore stays bit-exact by
-    construction. Returns the tile-major f32 bank, the bf16 phase-1 copy
-    and the 0/1 presence copy, all sharded over ``axis``."""
+    construction. Returns the tile-major f32 bank and the bf16 phase-1
+    copy (booleans derive presence from it in-kernel), sharded over
+    ``axis``."""
 
     def shard_fn(hb, lb, si):
         D = hb.shape[2]
@@ -128,14 +129,13 @@ def _sharded_compact_build(heavy_banks, light_banks, srcidx, *, mesh, axis):
         U8 = bank.shape[0]
         compact_t = bank.reshape(U8, D // LANE, LANE).transpose(1, 0, 2)
         bf16 = bank.astype(jnp.bfloat16)
-        presence = (bf16 > 0).astype(jnp.bfloat16)
-        return compact_t[None], bf16[None], presence[None]
+        return compact_t[None], bf16[None]
 
     f = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
         check_vma=False,
     )
     return f(heavy_banks, light_banks, srcidx)
@@ -149,7 +149,6 @@ def _sharded_compact_build(heavy_banks, light_banks, srcidx, *, mesh, axis):
 def _sharded_pruned_search(
     compact_t,  # f32 [S, G, U8, LANE]
     compact_bf16,  # bf16 [S, U8, D]
-    presence_bf16,  # bf16 [S, U8, D]
     cidx,  # int32 [S, Q, Tq]
     cflags,  # int32 [S, Q, Tq]
     a_sc_t,  # bf16 [S, U8, Q]
@@ -190,7 +189,7 @@ def _sharded_pruned_search(
     ``MaxScoreBulkScorer.h:18-120`` per leaf + ``IndexSearcher.cpp:76``."""
 
     def shard_fn(
-        compact_t, compact_bf16, presence_bf16, cidx, cflags,
+        compact_t, compact_bf16, cidx, cflags,
         a_sc_t, a_rq_t, a_sh_t, a_ng_t, a_cb_t, params_t,
         heavy_banks, light_banks, live, doc_base,
         hidx, lidx, scoring, req, sho, neg, bool_params,
@@ -204,7 +203,7 @@ def _sharded_pruned_search(
         # batches the fused 2-product kernel; only batches with MUST_NOT
         # (or digit overlap) pay all 4 presence products
         fusedp = row_score_topk_pruned_batch(
-            compact_t[0], compact_bf16[0], presence_bf16[0],
+            compact_t[0], compact_bf16[0],
             cidx[0], cflags[0], live[0],
             a_sc_t[0], a_rq_t[0], a_sh_t[0], a_ng_t[0], params_t[0],
             bool_params[0], k=k, B=B, boolean=not pure_or,
@@ -249,7 +248,7 @@ def _sharded_pruned_search(
             esc_n[None],
         )
 
-    specs = [P(axis)] * 22
+    specs = [P(axis)] * 21
     f = jax.shard_map(
         shard_fn,
         mesh=mesh,
@@ -258,7 +257,7 @@ def _sharded_pruned_search(
         check_vma=False,
     )
     s, d, h, e = f(
-        compact_t, compact_bf16, presence_bf16, cidx, cflags,
+        compact_t, compact_bf16, cidx, cflags,
         a_sc_t, a_rq_t, a_sh_t, a_ng_t, a_cb_t, params_t,
         heavy_banks, light_banks, live, doc_base,
         hidx, lidx, scoring, req, sho, neg, bool_params,
@@ -648,13 +647,12 @@ class ShardedSearcher:
             [len(r) for r in light_rows], sp=sp,
         )
         if compact is not None:
-            ct, cbf16, cpres = _sharded_compact_build(
+            ct, cbf16 = _sharded_compact_build(
                 self.heavy_banks, out[0], compact["srcidx"],
                 mesh=self.mesh, axis=self.axis,
             )
             compact["compact_t"] = ct
             compact["compact_bf16"] = cbf16
-            compact["presence_bf16"] = cpres
         out = out + (compact,)
         if len(self._plan_cache) < 64:
             self._plan_cache[key] = out
@@ -777,7 +775,6 @@ class ShardedSearcher:
             scores, docs, hits, esc_n = _sharded_pruned_search(
                 compact["compact_t"],
                 compact["compact_bf16"],
-                compact["presence_bf16"],
                 compact["cidx"],
                 compact["cflags"],
                 compact["a_sc_t"],

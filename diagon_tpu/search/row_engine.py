@@ -583,7 +583,7 @@ def _select_tiles(tile_upper, Bk: int, G: int, deterministic: bool = True):
 
 @partial(jax.jit, static_argnames=("Bk", "boolean", "interpret"))
 def _pruned_batch_phase1(
-    compact_bf16, presence_bf16, a_sc_t, a_rq_t, a_sh_t, a_ng_t,
+    compact_bf16, a_sc_t, a_rq_t, a_sh_t, a_ng_t,
     params_t, live, *, Bk: int, boolean: bool, interpret: bool,
     a_cb_t=None,
 ):
@@ -606,12 +606,12 @@ def _pruned_batch_phase1(
         )
 
         tmax, hits = pallas_approx_select_bool2(
-            a_sc_t, a_cb_t, compact_bf16, presence_bf16,
+            a_sc_t, a_cb_t, compact_bf16,
             params_t, live, interpret=interpret,
         )
     elif boolean:
         tmax, hits = pallas_approx_select_bool(
-            a_sc_t, a_rq_t, a_sh_t, a_ng_t, compact_bf16, presence_bf16,
+            a_sc_t, a_rq_t, a_sh_t, a_ng_t, compact_bf16,
             params_t, live, interpret=interpret,
         )
     else:
@@ -669,7 +669,7 @@ def _pruned_batch_phase2(
     static_argnames=("k", "Bk", "out_q", "boolean", "interpret"),
 )
 def _pruned_batch_fused(
-    compact_t, compact_bf16, presence_bf16, cidx, cflags, live,
+    compact_t, compact_bf16, cidx, cflags, live,
     a_sc_t, a_rq_t, a_sh_t, a_ng_t, params_t, bool_params, a_cb_t,
     *, k: int, Bk: int, out_q: int, boolean: bool, interpret: bool,
 ):
@@ -680,7 +680,7 @@ def _pruned_batch_fused(
     tunnel on the purity-split mixed path (measured 4.78 ms of python
     per mixed batch at 7 dispatches)."""
     tsel, u_next, min_unsel, hits = _pruned_batch_phase1(
-        compact_bf16, presence_bf16, a_sc_t, a_rq_t, a_sh_t, a_ng_t,
+        compact_bf16, a_sc_t, a_rq_t, a_sh_t, a_ng_t,
         params_t, live, Bk=Bk, boolean=boolean, interpret=interpret,
         a_cb_t=a_cb_t,
     )
@@ -694,7 +694,6 @@ def _pruned_batch_fused(
 def row_score_topk_pruned_batch(
     compact_t,  # f32 [G, U8, LANE] batch-compact tile-major bank (exact)
     compact_bf16,  # bf16 [U8, D] approx copy (phase-1 matmul)
-    presence_bf16,  # bf16 [U8, D] 0/1 (boolean variant; zeros row-0 ok)
     cidx,  # int32 [Q, Tq] compact row per clause (0 = zero row)
     cflags,  # int32 [Q, Tq] bit0 scoring / 1 req / 2 sho / 3 neg
     live,  # f32 [D]
@@ -726,7 +725,8 @@ def row_score_topk_pruned_batch(
       instead of once per (query, clause). Contributions are
       nonnegative, so approx > 0 iff some clause matches, making the
       live-masked positive count the EXACT hit count. For general
-      booleans, 0/1 presence-indicator matmuls give EXACT clause counts
+      booleans, 0/1 presence-indicator matmuls (presence derived
+      in-kernel from the score bank) give EXACT clause counts
       (sums of <= Tq ones are exact in f32) and the match mask / hit
       counts equal the oracle's; candidate tiles are additionally gated
       on per-tile feasibility.
@@ -744,13 +744,13 @@ def row_score_topk_pruned_batch(
         out_q = Q
     if not staged:
         return _pruned_batch_fused(
-            compact_t, compact_bf16, presence_bf16, cidx, cflags, live,
+            compact_t, compact_bf16, cidx, cflags, live,
             a_sc_t, a_rq_t, a_sh_t, a_ng_t, params_t, bool_params,
             a_cb_t, k=k, Bk=Bk, out_q=out_q, boolean=boolean,
             interpret=interpret,
         )
     tsel, u_next, min_unsel, hits = _pruned_batch_phase1(
-        compact_bf16, presence_bf16, a_sc_t, a_rq_t, a_sh_t, a_ng_t,
+        compact_bf16, a_sc_t, a_rq_t, a_sh_t, a_ng_t,
         params_t, live, Bk=Bk, boolean=boolean, interpret=interpret,
         a_cb_t=a_cb_t,
     )
@@ -1318,8 +1318,8 @@ class CompactBatch:
     per cached batch entry; consumed by row_score_topk_pruned_batch)."""
 
     compact_t: object  # f32 [G, U8, LANE] tile-major (exact rescore)
-    compact_bf16: object  # bf16 [U8, D] (phase-1 matmul)
-    presence_bf16: object  # bf16 [U8, D] 0/1 (= compact_bf16 when pure-OR)
+    compact_bf16: object  # bf16 [U8, D] (phase-1 matmul; booleans derive
+    #                        presence from it in-kernel)
     cidx: object  # int32 [Q, Tq]
     cflags: object  # int32 [Q, Tq]
     a_sc_t: object  # bf16 [U8, Q]
@@ -1711,10 +1711,6 @@ class RowExecutor:
         compact_t = _tile_major(compact_f32)
         compact_bf16 = compact_f32.astype(jnp.bfloat16)
         nbytes = U8 * D * 6  # f32 tile-major + bf16
-        presence_bf16 = compact_bf16  # placeholder (unused when pure-OR)
-        if not pure_or:
-            presence_bf16 = (compact_bf16 > 0).astype(jnp.bfloat16)
-            nbytes += U8 * D * 2
 
         # transposed per-role clause-indicator matrices for phase 1
         nq, tq = cidx.shape
@@ -1745,7 +1741,6 @@ class RowExecutor:
         return CompactBatch(
             compact_t,
             compact_bf16,
-            presence_bf16,
             dev(cidx),
             dev(cflags),
             dev(a["sc"]).astype(jnp.bfloat16),
@@ -1905,7 +1900,6 @@ class RowExecutor:
             return row_score_topk_pruned_batch(
                 compact.compact_t,
                 compact.compact_bf16,
-                compact.presence_bf16,
                 compact.cidx,
                 compact.cflags,
                 idx.live,
