@@ -19,6 +19,7 @@
 #include <Python.h>
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -354,6 +355,61 @@ PyObject* FreqProx_finish(FreqProxObject* self, PyObject* args) {
     return out;
 }
 
+// add_documents(doc_id0: int, texts: sequence[str], with_positions: bool)
+//   -> bytes i32[len(texts)] per-document token counts
+// Batch ingest: one Python call per (field, batch) instead of per
+// document — the per-call interpreter overhead is most of the gap to the
+// reference's 43k docs/s addDocument loop (README.md:50).
+PyObject* FreqProx_add_documents(FreqProxObject* self, PyObject* args) {
+    int doc_id0;
+    PyObject* seq;
+    int with_positions;
+    if (!PyArg_ParseTuple(args, "iOp", &doc_id0, &seq, &with_positions))
+        return nullptr;
+    PyObject* fast = PySequence_Fast(seq, "texts must be a sequence");
+    if (!fast) return nullptr;
+    Py_ssize_t n = PySequence_Fast_GET_SIZE(fast);
+    std::vector<int32_t> counts(static_cast<size_t>(n), 0);
+    std::string tok;
+    auto& terms = *self->terms;
+    for (Py_ssize_t k = 0; k < n; k++) {
+        PyObject* text_obj = PySequence_Fast_GET_ITEM(fast, k);
+        Py_ssize_t len = 0;
+        const char* data = PyUnicode_AsUTF8AndSize(text_obj, &len);
+        if (!data) {
+            Py_DECREF(fast);
+            return nullptr;
+        }
+        int doc_id = doc_id0 + static_cast<int>(k);
+        int32_t pos = 0;
+        tokenize_ascii(data, len, tok, [&](const std::string& t) {
+            uint32_t idx = terms.find_or_insert(t, &self->ram_bytes);
+            if (terms.last_doc[idx] == doc_id) {
+                terms.cur_freq[idx] += 1;
+            } else {
+                if (terms.last_doc[idx] >= 0) terms.flush_entry(idx);
+                terms.last_doc[idx] = doc_id;
+                terms.cur_freq[idx] = 1;
+                if (with_positions) {
+                    TermPostings& tp = terms.posts[idx];
+                    tp.pos_start.push_back(
+                        static_cast<int64_t>(tp.positions.size()));
+                }
+            }
+            if (with_positions) terms.posts[idx].positions.push_back(pos);
+            self->ram_bytes += 12;
+            pos++;
+        });
+        counts[static_cast<size_t>(k)] = pos;
+        self->sum_total_tf += pos;
+        if (pos > 0) self->field_lengths->emplace_back(doc_id, pos);
+    }
+    Py_DECREF(fast);
+    return PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(counts.data()),
+        static_cast<Py_ssize_t>(counts.size() * 4));
+}
+
 PyObject* FreqProx_ram_bytes(FreqProxObject* self, PyObject*) {
     return PyLong_FromLongLong(self->ram_bytes);
 }
@@ -365,6 +421,8 @@ PyObject* FreqProx_num_terms(FreqProxObject* self, PyObject*) {
 PyMethodDef FreqProx_methods[] = {
     {"add_document", reinterpret_cast<PyCFunction>(FreqProx_add_document),
      METH_VARARGS, "tokenize + accumulate one document's field text"},
+    {"add_documents", reinterpret_cast<PyCFunction>(FreqProx_add_documents),
+     METH_VARARGS, "batch tokenize + accumulate many documents' field text"},
     {"finish", reinterpret_cast<PyCFunction>(FreqProx_finish), METH_VARARGS,
      "emit sorted CSR arrays as bytes"},
     {"ram_bytes", reinterpret_cast<PyCFunction>(FreqProx_ram_bytes),
@@ -653,9 +711,270 @@ PyObject* positions_from_deltas(PyObject*, PyObject* args) {
         static_cast<Py_ssize_t>(pos.size() * 4));
 }
 
+// ---------------------------------------------------------------------
+// Bulk (vectorized) index build: token sampling + postings inversion
+// ---------------------------------------------------------------------
+//
+// The reference ingests 10M synthetic docs in minutes on a 64-vCPU box
+// (benchmarks/java/ScaleBenchmark, RUN_SCALE_TEST.sh); this host has ONE
+// core, so the per-document Python loop (~600 docs/s at 10M) is replaced
+// by a columnar build: sample the whole token stream, invert it with a
+// counting sort, and feed the CSR straight to pack_blocks. SURVEY.md
+// section 7 step 2 ("index builder -> packed artifacts, segmented sort").
+
+struct SplitMix64 {
+    uint64_t s;
+    explicit SplitMix64(uint64_t seed) : s(seed) {}
+    uint64_t next() {
+        uint64_t z = (s += 0x9E3779B97F4A7C15ull);
+        z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+        z = (z ^ (z >> 27)) * 0x94D049BB133111EBull;
+        return z ^ (z >> 31);
+    }
+    double next_double() {  // uniform [0, 1)
+        return static_cast<double>(next() >> 11) * 0x1.0p-53;
+    }
+    // uniform integer in [0, n) (n < 2^32; modulo bias negligible here)
+    uint32_t next_below(uint32_t n) {
+        return static_cast<uint32_t>(next() % n);
+    }
+};
+
+// Walker alias table for O(1) categorical sampling from `probs`.
+struct AliasTable {
+    std::vector<double> prob;    // acceptance threshold per bucket
+    std::vector<int32_t> alias;  // fallback bucket
+
+    explicit AliasTable(const double* p, size_t n) : prob(n), alias(n) {
+        std::vector<double> scaled(n);
+        double sum = 0.0;
+        for (size_t i = 0; i < n; i++) sum += p[i];
+        std::vector<int32_t> small, large;
+        small.reserve(n);
+        large.reserve(n);
+        for (size_t i = 0; i < n; i++) {
+            scaled[i] = p[i] / sum * static_cast<double>(n);
+            (scaled[i] < 1.0 ? small : large).push_back(
+                static_cast<int32_t>(i));
+        }
+        while (!small.empty() && !large.empty()) {
+            int32_t s = small.back(); small.pop_back();
+            int32_t l = large.back(); large.pop_back();
+            prob[s] = scaled[s];
+            alias[s] = l;
+            scaled[l] = (scaled[l] + scaled[s]) - 1.0;
+            (scaled[l] < 1.0 ? small : large).push_back(l);
+        }
+        for (int32_t s : small) { prob[s] = 1.0; alias[s] = s; }
+        for (int32_t l : large) { prob[l] = 1.0; alias[l] = l; }
+    }
+
+    int32_t sample(SplitMix64& rng, size_t n) const {
+        uint32_t b = rng.next_below(static_cast<uint32_t>(n));
+        return rng.next_double() < prob[b] ? static_cast<int32_t>(b)
+                                           : alias[b];
+    }
+};
+
+// synth_tokens(num_docs, seed, probs: bytes f64[V], len_kind, len_a,
+//              len_b, min_len, phrase_flat: bytes i32, phrase_start:
+//              bytes i32[P+1], phrase_prob, remap: bytes i32[V] or b"")
+//   -> (doc_len: bytes i32[N], token_ids: bytes i32[sum(doc_len)])
+//
+// len_kind 0: lognormal(mu=len_a, sigma=len_b) clamped to >= min_len;
+// len_kind 1: uniform integer in [len_a, len_b). With probability
+// phrase_prob a document gets 1-3 occurrences of one phrase (benchmark
+// bigrams) written at random offsets. Token ids are remapped through
+// `remap` (rank-space -> sorted-term-space) before return.
+PyObject* synth_tokens(PyObject*, PyObject* args) {
+    long num_docs, min_len;
+    unsigned long long seed;
+    Py_buffer probs_b, pflat_b, pstart_b, remap_b;
+    int len_kind;
+    double len_a, len_b, phrase_prob;
+    if (!PyArg_ParseTuple(args, "lKy*iddly*y*dy*", &num_docs, &seed,
+                          &probs_b, &len_kind, &len_a, &len_b, &min_len,
+                          &pflat_b, &pstart_b, &phrase_prob, &remap_b))
+        return nullptr;
+    const double* probs = static_cast<const double*>(probs_b.buf);
+    size_t V = static_cast<size_t>(probs_b.len / 8);
+    const int32_t* pflat = static_cast<const int32_t*>(pflat_b.buf);
+    const int32_t* pstart = static_cast<const int32_t*>(pstart_b.buf);
+    size_t n_phrases =
+        pstart_b.len >= 8 ? static_cast<size_t>(pstart_b.len / 4) - 1 : 0;
+    const int32_t* remap = remap_b.len > 0
+                               ? static_cast<const int32_t*>(remap_b.buf)
+                               : nullptr;
+
+    AliasTable alias(probs, V);
+    SplitMix64 rng(seed);
+
+    std::vector<int32_t> doc_len(static_cast<size_t>(num_docs));
+    std::vector<int32_t> tokens;
+    double mean_est = len_kind == 0 ? std::exp(len_a + len_b * len_b / 2.0)
+                                    : (len_a + len_b) / 2.0;
+    tokens.reserve(static_cast<size_t>(num_docs * mean_est * 1.05) + 1024);
+
+    for (long d = 0; d < num_docs; d++) {
+        long L;
+        if (len_kind == 0) {
+            // Box-Muller normal -> lognormal
+            double u1 = rng.next_double(), u2 = rng.next_double();
+            if (u1 < 1e-300) u1 = 1e-300;
+            double z = std::sqrt(-2.0 * std::log(u1)) *
+                       std::cos(6.283185307179586 * u2);
+            L = static_cast<long>(std::exp(len_a + len_b * z));
+        } else {
+            L = static_cast<long>(len_a) +
+                static_cast<long>(rng.next_below(
+                    static_cast<uint32_t>(len_b - len_a)));
+        }
+        if (L < min_len) L = min_len;
+        if (L > 60000) L = 60000;  // keep positions < 2^16 (disk format)
+        doc_len[static_cast<size_t>(d)] = static_cast<int32_t>(L);
+        size_t base = tokens.size();
+        tokens.resize(base + static_cast<size_t>(L));
+        for (long j = 0; j < L; j++)
+            tokens[base + static_cast<size_t>(j)] = alias.sample(rng, V);
+        if (n_phrases > 0 && rng.next_double() < phrase_prob) {
+            const int32_t pi = static_cast<int32_t>(
+                rng.next_below(static_cast<uint32_t>(n_phrases)));
+            int32_t ps = pstart[pi], pe = pstart[pi + 1];
+            long plen = pe - ps;
+            long n_occ = 1 + static_cast<long>(rng.next_below(3));
+            for (long o = 0; o < n_occ; o++) {
+                if (L > plen + 1) {
+                    long off = static_cast<long>(rng.next_below(
+                        static_cast<uint32_t>(L - plen)));
+                    for (long j = 0; j < plen; j++)
+                        tokens[base + static_cast<size_t>(off + j)] =
+                            pflat[ps + j];
+                }
+            }
+        }
+    }
+    if (remap)
+        for (size_t i = 0; i < tokens.size(); i++)
+            tokens[i] = remap[tokens[i]];
+
+    PyBuffer_Release(&probs_b);
+    PyBuffer_Release(&pflat_b);
+    PyBuffer_Release(&pstart_b);
+    PyBuffer_Release(&remap_b);
+
+    auto mk = [](const void* data, size_t nbytes) {
+        return PyBytes_FromStringAndSize(
+            static_cast<const char*>(data), static_cast<Py_ssize_t>(nbytes));
+    };
+    return Py_BuildValue("(NN)", mk(doc_len.data(), doc_len.size() * 4),
+                         mk(tokens.data(), tokens.size() * 4));
+}
+
+// invert_tokens(doc_len: bytes i32[N], token_ids: bytes i32[T],
+//               vocab_size, with_positions)
+//   -> (entry_start: bytes i64[V+1], docs: bytes i32[NE],
+//       freqs: bytes i32[NE], positions: bytes i32[T] or b"")
+//
+// Counting sort of the doc-major token stream into term-major postings:
+// histogram -> per-term regions -> scatter (doc, pos) -> per-region RLE
+// into (doc, freq) entries. Because the scan is doc-major/pos-major,
+// each term region comes out sorted by (doc, pos), and the scattered
+// position array IS the flat per-entry positions CSR (pos_start =
+// cumsum(freqs), computed by the caller). Terms with zero occurrences
+// get empty entry ranges (callers pass a dense vocab).
+PyObject* invert_tokens(PyObject*, PyObject* args) {
+    Py_buffer dl_b, tok_b;
+    long vocab_size;
+    int with_positions;
+    if (!PyArg_ParseTuple(args, "y*y*lp", &dl_b, &tok_b, &vocab_size,
+                          &with_positions))
+        return nullptr;
+    const int32_t* doc_len = static_cast<const int32_t*>(dl_b.buf);
+    const int32_t* tok = static_cast<const int32_t*>(tok_b.buf);
+    size_t N = static_cast<size_t>(dl_b.len / 4);
+    size_t T = static_cast<size_t>(tok_b.len / 4);
+    size_t V = static_cast<size_t>(vocab_size);
+
+    // pass 1: histogram -> per-term token regions
+    std::vector<int64_t> tok_off(V + 1, 0);
+    for (size_t i = 0; i < T; i++) tok_off[tok[i] + 1]++;
+    for (size_t v = 0; v < V; v++) tok_off[v + 1] += tok_off[v];
+
+    // pass 2: scatter (doc, pos) into term regions (doc-major scan keeps
+    // each region sorted); cursors fit L2 so hot-term writes stream
+    std::vector<int32_t> doc_sc(T);
+    std::vector<int32_t> pos_sc(with_positions ? T : 0);
+    {
+        std::vector<int64_t> cur(tok_off.begin(), tok_off.end() - 1);
+        size_t i = 0;
+        for (size_t d = 0; d < N; d++) {
+            int32_t L = doc_len[d];
+            for (int32_t p = 0; p < L; p++, i++) {
+                int64_t slot = cur[tok[i]]++;
+                doc_sc[static_cast<size_t>(slot)] = static_cast<int32_t>(d);
+                if (with_positions)
+                    pos_sc[static_cast<size_t>(slot)] = p;
+            }
+        }
+    }
+
+    // pass 3: count (term, doc) entries per term
+    std::vector<int64_t> entry_start(V + 1, 0);
+    for (size_t v = 0; v < V; v++) {
+        int64_t s = tok_off[v], e = tok_off[v + 1];
+        int64_t ne = 0;
+        int32_t prev = -1;
+        for (int64_t j = s; j < e; j++) {
+            if (doc_sc[static_cast<size_t>(j)] != prev) {
+                ne++;
+                prev = doc_sc[static_cast<size_t>(j)];
+            }
+        }
+        entry_start[v + 1] = entry_start[v] + ne;
+    }
+    size_t NE = static_cast<size_t>(entry_start[V]);
+
+    // pass 4: emit (doc, freq) runs
+    std::vector<int32_t> docs(NE), freqs(NE);
+    {
+        size_t e = 0;
+        for (size_t v = 0; v < V; v++) {
+            int64_t s = tok_off[v], end = tok_off[v + 1];
+            int32_t prev = -1;
+            for (int64_t j = s; j < end; j++) {
+                int32_t d = doc_sc[static_cast<size_t>(j)];
+                if (d != prev) {
+                    docs[e] = d;
+                    freqs[e] = 1;
+                    e++;
+                    prev = d;
+                } else {
+                    freqs[e - 1]++;
+                }
+            }
+        }
+    }
+
+    PyBuffer_Release(&dl_b);
+    PyBuffer_Release(&tok_b);
+
+    auto mk = [](const void* data, size_t nbytes) {
+        return PyBytes_FromStringAndSize(
+            static_cast<const char*>(data), static_cast<Py_ssize_t>(nbytes));
+    };
+    return Py_BuildValue(
+        "(NNNN)", mk(entry_start.data(), entry_start.size() * 8),
+        mk(docs.data(), docs.size() * 4), mk(freqs.data(), freqs.size() * 4),
+        mk(pos_sc.data(), pos_sc.size() * 4));
+}
+
 PyMethodDef module_methods[] = {
     {"standard_tokenize_ascii", standard_tokenize_ascii, METH_O,
      "ASCII StandardTokenizer (alnum runs + apostrophes, lowercased)"},
+    {"synth_tokens", synth_tokens, METH_VARARGS,
+     "sample a synthetic token stream (alias-method categorical)"},
+    {"invert_tokens", invert_tokens, METH_VARARGS,
+     "counting-sort a doc-major token stream into CSR postings"},
     {"pack_blocks", pack_blocks, METH_VARARGS,
      "CSR postings -> bit-packed 128-doc block arrays"},
     {"pack_bits", pack_bits_fn, METH_VARARGS,

@@ -107,9 +107,12 @@ def _kernel_bool(
     accumulation; QB=256 keeps that at <= ceil(Q/256) bank reads."""
     c = pl.program_id(1)
     bank = bank_ref[...]
+    # compare in f32: Mosaic cannot lower cmpf on packed bf16 vectors
+    # ("Target does not support this comparison"); the extension is a
+    # VPU-register op, the bank is still read from HBM once as bf16
     pres = jnp.where(
-        bank > 0, jnp.bfloat16(1.0), jnp.bfloat16(0.0)
-    )
+        bank.astype(jnp.float32) > 0, jnp.float32(1.0), jnp.float32(0.0)
+    ).astype(jnp.bfloat16)
     ap = _dot_ct(bank, asc_ref[...])  # [CH, Q]
     rc = _dot_ct(pres, arq_ref[...])
     oc = _dot_ct(pres, ash_ref[...])
@@ -206,9 +209,11 @@ def _kernel_bool2(
     copy), so the bank is read from HBM once."""
     c = pl.program_id(1)
     bank = bank_ref[...]
+    # f32 compare: Mosaic cannot lower cmpf on packed bf16 (see
+    # _kernel_bool)
     pres = jnp.where(
-        bank > 0, jnp.bfloat16(1.0), jnp.bfloat16(0.0)
-    )
+        bank.astype(jnp.float32) > 0, jnp.float32(1.0), jnp.float32(0.0)
+    ).astype(jnp.bfloat16)
     ap = _dot_ct(bank, asc_ref[...])  # [CH, Q]
     cc = _dot_ct(pres, acb_ref[...])  # [CH, Q] rc*256 + oc
     nreq = params_ref[0:1, :]
