@@ -55,6 +55,15 @@ PRUNE_MIN_DOCS = 1 << 14
 # B0=16 -> 120 esc and the escalation chunks dominate collect (376 ms).
 PRUNE_B0 = 24
 
+# On-demand bank mode: segments at least this large do NOT materialize a
+# resident heavy bank (f32 rows for ~200 heavy terms = 8.6 GB at 10M docs,
+# which left no HBM for the per-batch compact banks — the r3 10M-mixed
+# OOM). Instead every batch's compact bank is scatter-built from the
+# resident packed postings for exactly the rows it uses (LRU-cached).
+# This is the equal-memory form of the WAND role at scale
+# (WANDScorer.h:17-285 streams blocks; it never holds dense rows).
+BANK_ON_DEMAND_MIN_DOCS = 4 << 20
+
 
 def _bucket(n: int, minimum: int = 8) -> int:
     return max(minimum, 1 << math.ceil(math.log2(max(1, n))))
@@ -970,6 +979,40 @@ def _place_rows(final, sub, g0):
     return jax.lax.dynamic_update_slice(final, sub[:-1], (g0, 0))
 
 
+@partial(jax.jit, donate_argnums=(0, 1))
+def _compact_place(ct, cb, sub, g0):
+    """Donated write of one scatter-built row group (sub [rows+1, D],
+    trailing dump row dropped in-jit) into the on-demand compact banks:
+    bf16 row-major for phase 1, tile-major f32 for phase 2. Donation
+    keeps the 10-GB-scale banks in place across groups."""
+    rows = sub.shape[0] - 1
+    body = sub[:-1]
+    cb = jax.lax.dynamic_update_slice(
+        cb, body.astype(jnp.bfloat16), (g0, jnp.int32(0))
+    )
+    G = ct.shape[0]
+    sub_t = body.reshape(rows, G, LANE).transpose(1, 0, 2)
+    ct = jax.lax.dynamic_update_slice(
+        ct, sub_t, (jnp.int32(0), g0, jnp.int32(0))
+    )
+    return ct, cb
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _compact_place_row(ct, cb, row, g0):
+    """Donated single-row write into the on-demand compact banks (light
+    rows appended after the heavy groups; row [1, D] f32)."""
+    cb = jax.lax.dynamic_update_slice(
+        cb, row.astype(jnp.bfloat16), (g0, jnp.int32(0))
+    )
+    G = ct.shape[0]
+    row_t = row.reshape(1, G, LANE).transpose(1, 0, 2)
+    ct = jax.lax.dynamic_update_slice(
+        ct, row_t, (jnp.int32(0), g0, jnp.int32(0))
+    )
+    return ct, cb
+
+
 # blocks per _build_bank_chunk call. 2^16 bounds the chunk program's
 # scoped decode temps to ~0.7 GB: the 2^18 version's ~3 GB of temps
 # OOM'd the 10M-doc build next to its 6.5 GB bank.
@@ -1069,9 +1112,17 @@ class RowFieldIndex:
         self.heavy_bank = None
         self.heavy_ub = None
         self.heavy_bits = None
+        # on-demand mode (huge segments): no resident bank; per-row term
+        # ids + idf weights let executors scatter-build exactly the rows
+        # a batch uses (build_rows_grouped)
+        self.bank_on_demand = False
+        self.heavy_tid_of_row: Optional[np.ndarray] = None
+        self.heavy_weight: Optional[np.ndarray] = None
 
     # device bytes the dense heavy bank may occupy (top-df rows win)
     BANK_BUDGET_BYTES = 6 << 30
+    # segments at least this large skip the resident bank entirely
+    ON_DEMAND_MIN_DOCS = BANK_ON_DEMAND_MIN_DOCS
 
     def device_decode_state(self):
         """(packed, norms, lut) device copies for on-device bank builds,
@@ -1115,6 +1166,13 @@ class RowFieldIndex:
         pp = self.pp
         T = pp.num_terms
         df = pp.doc_freq
+        # sharded searchers (explicit heavy_tids) read the materialized
+        # bank directly for their in-shard kernels — never on-demand
+        self.bank_on_demand = (
+            self.prunable
+            and heavy_tids is None
+            and self.num_docs_pad >= self.ON_DEMAND_MIN_DOCS
+        )
         if heavy_tids is not None:
             heavy = np.asarray(heavy_tids, dtype=np.int64)
         else:
@@ -1125,15 +1183,30 @@ class RowFieldIndex:
             # HBM budget: the dense bank is 4*D bytes/row — at 10M docs
             # the df>=D/16 set alone is ~209 rows = 8.4 GB. Keep the
             # top-df rows under the budget; overflow terms stay on the
-            # (correct, slower) light-row path.
+            # (correct, slower) light-row path. On-demand mode holds no
+            # resident bank, so no cap applies there.
             max_rows = max(
                 1, int(self.BANK_BUDGET_BYTES // (4 * self.num_docs_pad))
             )
-            if len(heavy) > max_rows:
+            if not self.bank_on_demand and len(heavy) > max_rows:
                 order = np.argsort(df[heavy], kind="stable")[::-1]
                 heavy = np.sort(heavy[order[:max_rows]])
         self.heavy_row_of_term = np.full(T, -1, dtype=np.int32)
+        self.heavy_tid_of_row = heavy.astype(np.int64)
+        self.heavy_weight = np.asarray(
+            [idf_of_tid(int(t)) if t >= 0 else 0.0 for t in heavy],
+            dtype=np.float32,
+        )
         present = heavy >= 0  # -1 = globally-heavy term absent here
+        if self.bank_on_demand:
+            if present.any():
+                self.heavy_row_of_term[heavy[present]] = np.nonzero(
+                    present
+                )[0].astype(np.int32)
+            self.heavy_bank = None
+            self.heavy_ub = None
+            self.heavy_bits = None
+            return
         if len(heavy) == 0 or not present.any():
             self.heavy_bank = jax.device_put(
                 jnp.zeros((max(1, len(heavy)), self.num_docs_pad),
@@ -1154,13 +1227,7 @@ class RowFieldIndex:
                 ]
             )
             rowid = self.heavy_row_of_term[pp.block_term[bsel]]
-            idf = np.asarray(
-                [
-                    idf_of_tid(int(t)) if t >= 0 else 0.0
-                    for t in heavy
-                ],
-                dtype=np.float32,
-            )[rowid]
+            idf = self.heavy_weight[rowid]
             H = len(heavy)
             D = self.num_docs_pad
             packed_dev, norms_dev, lut_dev = self.device_decode_state()
@@ -1207,6 +1274,55 @@ class RowFieldIndex:
                 self.heavy_bank = final
         if self.prunable:
             self.heavy_ub, self.heavy_bits = build_tile_aux(self.heavy_bank)
+
+    def build_rows_grouped(self, tids, weights):
+        """Yield ``(g0, sub)`` device row groups for the given term ids,
+        each ``sub`` an ``[rows+1, D]`` f32 sub-bank (trailing scatter-dump
+        row) with row j = weights[g0+j]-scaled score row of tids[g0+j]
+        (tid < 0 -> all-zero row). The on-demand form of the heavy-bank
+        build: rows materialize per batch vocabulary instead of as a
+        resident bank, the equal-memory WAND stance at 10M docs
+        (WANDScorer.h:17-285 streams blocks, never holds dense rows).
+        Bit-exact vs host_row (same LUT, same single IEEE multiply)."""
+        pp = self.pp
+        D = self.num_docs_pad
+        R = len(tids)
+        rowg = max(1, min(64, (_FLAT_SCATTER_MAX // D) - 1))
+        packed_dev, norms_dev, lut_dev = self.device_decode_state()
+        for g0 in range(0, R, rowg):
+            rows = min(rowg, R - g0)
+            bs, rid, sc = [], [], []
+            for j in range(rows):
+                t = int(tids[g0 + j])
+                if t < 0:
+                    continue
+                b0 = int(pp.block_start[t])
+                b1 = int(pp.block_start[t + 1])
+                if b1 > b0:
+                    bs.append(np.arange(b0, b1, dtype=np.int64))
+                    rid.append(np.full(b1 - b0, j, np.int32))
+                    sc.append(
+                        np.full(
+                            b1 - b0,
+                            np.float32(weights[g0 + j]),
+                            np.float32,
+                        )
+                    )
+            sub = jnp.zeros((rows + 1, D), jnp.float32)
+            if self.device is not None:
+                sub = jax.device_put(sub, self.device)
+            if bs:
+                meta = _block_meta(
+                    pp,
+                    np.concatenate(bs),
+                    np.concatenate(rid),
+                    np.concatenate(sc),
+                )
+                sub = _scatter_bank_rows(
+                    sub, meta, packed_dev, norms_dev, lut_dev, self.F,
+                    self.device,
+                )
+            yield g0, sub
 
 
 # ---------------------------------------------------------------------------
@@ -1370,6 +1486,8 @@ class RowExecutor:
         # dispatch on this 1-core box (profiled), dwarfing the device work
         self._dedup_cache: dict = {}
         self._split_cache: dict = {}
+        # on-demand exhaustive-args banks (escalation/count), tiny LRU
+        self._demand_args_cache: dict = {}
         # pruning observability (the reference instruments WAND with
         # per-query counters, WANDScorer.h:99-141); silent perf cliffs —
         # certificate escalations, compact-bank fallbacks — show up here
@@ -1565,8 +1683,12 @@ class RowExecutor:
             lidx[qi] = remap[lidx[qi]]
         total = len(row_of)
         light_bank = self._build_light_bank(total, specs, host_rows)
+        # tile aux serves only the small-batch tile-UB path, which huge
+        # (on-demand) segments never take — skip its bank-sized temps
         light_aux = (
-            build_tile_aux(light_bank) if self.index.prunable else (None, None)
+            build_tile_aux(light_bank)
+            if self.index.prunable and not self.index.bank_on_demand
+            else (None, None)
         )
         hidx_arr = pad(lambda p: p.hidx, np.int32, fill=-1)
         sc_arr = pad(lambda p: p.scoring, bool)
@@ -1577,7 +1699,10 @@ class RowExecutor:
         pure_or = all(p.pure_or for p in plans)
         if (
             self.index.prunable
-            and self.index.heavy_bank is not None
+            and (
+                self.index.heavy_bank is not None
+                or self.index.bank_on_demand
+            )
             and (
                 len(plans) >= self.approx_min_q
                 or not pure_or
@@ -1614,8 +1739,16 @@ class RowExecutor:
     # segments so partitioned diverse batches can't OOM the bank builds
     COMPACT_GROUP_BYTES = 2 << 30
 
+    # on-demand mode budget: with no resident heavy bank the compact
+    # banks own most of HBM; ~6.3 B/doc/row real (f32 tile-major + bf16)
+    # with headroom for the build's transient row group
+    ON_DEMAND_GROUP_BYTES = 8 << 30
+
     def _compact_row_cap(self) -> int:
         D = self.index.num_docs_pad
+        if self.index.bank_on_demand:
+            return min(self.COMPACT_MAX_ROWS,
+                       max(32, self.ON_DEMAND_GROUP_BYTES // (7 * D)))
         return min(self.COMPACT_MAX_ROWS,
                    max(32, self.COMPACT_GROUP_BYTES // (10 * D)))
 
@@ -1687,29 +1820,58 @@ class RowExecutor:
             + 8 * (ng_arr > 0).astype(np.int32)
         )
         D = self.index.num_docs_pad
-        parts = [jnp.zeros((1, D), jnp.float32)]
-        if len(used):
-            parts.append(self.index.heavy_bank[jnp.asarray(used)])
-        if n_light:
-            parts.append(light_bank[1 : 1 + n_light])
-        compact_f32 = _pad_rows8(jnp.concatenate(parts))
-        # bucket the row count past the sublane-8 rule: vocabulary drift
-        # between serving batches otherwise recompiles phase 1/2 for
-        # every distinct U8 (zero rows are free FLOP-wise; skip at huge
-        # D where 24 pad rows cost ~1 GB of HBM)
-        if self.index.num_docs_pad < self.batch_only_min_docs:
-            n = int(compact_f32.shape[0])
-            n32 = -(-n // 32) * 32
-            if n32 != n:
-                compact_f32 = jnp.concatenate(
-                    [
-                        compact_f32,
-                        jnp.zeros((n32 - n, D), jnp.float32),
-                    ]
+        if self.index.bank_on_demand:
+            # no resident heavy bank at this scale: scatter-build exactly
+            # the rows this batch uses from the packed postings, placing
+            # each row group straight into the (donated) tile-major f32 +
+            # bf16 banks — peak residency = banks + one transient group
+            idx = self.index
+            G = D // LANE
+            U8 = -(-n_rows // 8) * 8
+            compact_t = jnp.zeros((G, U8, LANE), jnp.float32)
+            compact_bf16 = jnp.zeros((U8, D), jnp.bfloat16)
+            if idx.device is not None:
+                compact_t = jax.device_put(compact_t, idx.device)
+                compact_bf16 = jax.device_put(compact_bf16, idx.device)
+            if len(used):
+                tids = idx.heavy_tid_of_row[used]
+                ws = idx.heavy_weight[used]
+                for g0, sub in idx.build_rows_grouped(tids, ws):
+                    compact_t, compact_bf16 = _compact_place(
+                        compact_t, compact_bf16, sub, jnp.int32(1 + g0)
+                    )
+            for j in range(n_light):
+                row = jax.lax.dynamic_slice_in_dim(
+                    light_bank, 1 + j, 1, 0
                 )
-        U8 = int(compact_f32.shape[0])
-        compact_t = _tile_major(compact_f32)
-        compact_bf16 = compact_f32.astype(jnp.bfloat16)
+                compact_t, compact_bf16 = _compact_place_row(
+                    compact_t, compact_bf16, row,
+                    jnp.int32(1 + len(used) + j),
+                )
+        else:
+            parts = [jnp.zeros((1, D), jnp.float32)]
+            if len(used):
+                parts.append(self.index.heavy_bank[jnp.asarray(used)])
+            if n_light:
+                parts.append(light_bank[1 : 1 + n_light])
+            compact_f32 = _pad_rows8(jnp.concatenate(parts))
+            # bucket the row count past the sublane-8 rule: vocabulary
+            # drift between serving batches otherwise recompiles phase
+            # 1/2 for every distinct U8 (zero rows are free FLOP-wise;
+            # skip at huge D where 24 pad rows cost ~1 GB of HBM)
+            if self.index.num_docs_pad < self.batch_only_min_docs:
+                n = int(compact_f32.shape[0])
+                n32 = -(-n // 32) * 32
+                if n32 != n:
+                    compact_f32 = jnp.concatenate(
+                        [
+                            compact_f32,
+                            jnp.zeros((n32 - n, D), jnp.float32),
+                        ]
+                    )
+            U8 = int(compact_f32.shape[0])
+            compact_t = _tile_major(compact_f32)
+            compact_bf16 = compact_f32.astype(jnp.bfloat16)
         nbytes = U8 * D * 6  # f32 tile-major + bf16
 
         # transposed per-role clause-indicator matrices for phase 1
@@ -1803,8 +1965,11 @@ class RowExecutor:
             hidx, lidx, scoring, req, sho, neg, bool_params, light_bank,
             _aux, _amats,
         ) = self._entry(plans)[1]
+        heavy = self.index.heavy_bank
+        if heavy is None and self.index.bank_on_demand:
+            heavy, hidx = self._demand_heavy_args(plans, hidx)
         return (
-            self.index.heavy_bank,
+            heavy,
             light_bank,
             self.index.live,
             hidx,
@@ -1815,6 +1980,45 @@ class RowExecutor:
             neg,
             bool_params,
         )
+
+    def _demand_heavy_args(self, plans, hidx):
+        """On-demand exhaustive/count/escalation support: a row-major
+        bank of just the heavy rows THIS batch uses, scatter-built from
+        postings, with hidx remapped into it. Cached per plan identity
+        (escalation reruns / repeated counts); bounded small — these
+        paths are rare at on-demand scale."""
+        ck = tuple(id(p) for p in plans)
+        hit = self._demand_args_cache.get(ck)
+        if hit is not None:
+            return hit
+        idx = self.index
+        hidx_np = np.asarray(hidx)
+        used = np.unique(hidx_np[hidx_np >= 0])
+        if len(used) == 0:
+            bank = jnp.zeros((1, idx.num_docs_pad), jnp.float32)
+            if idx.device is not None:
+                bank = jax.device_put(bank, idx.device)
+            out = (bank, jnp.asarray(hidx_np))
+        else:
+            final = jnp.zeros((len(used), idx.num_docs_pad), jnp.float32)
+            if idx.device is not None:
+                final = jax.device_put(final, idx.device)
+            for g0, sub in idx.build_rows_grouped(
+                idx.heavy_tid_of_row[used], idx.heavy_weight[used]
+            ):
+                final = _place_rows(final, sub, jnp.int32(g0))
+            hpos = np.zeros(int(used.max()) + 1, dtype=np.int32)
+            hpos[used] = np.arange(len(used), dtype=np.int32)
+            hidx2 = np.where(
+                hidx_np >= 0, hpos[np.maximum(hidx_np, 0)], -1
+            ).astype(np.int32)
+            out = (final, jnp.asarray(hidx2))
+        if len(self._demand_args_cache) >= 4:
+            self._demand_args_cache.pop(
+                next(iter(self._demand_args_cache))
+            )
+        self._demand_args_cache[ck] = out
+        return out
 
     # pallas is the default pure-OR path; set False to force the XLA scan
     use_pallas: bool = True
@@ -1842,7 +2046,10 @@ class RowExecutor:
     def _use_pruned(self, plans: Sequence[RowPlan]) -> bool:
         if not (
             self.index.prunable
-            and self.index.heavy_ub is not None
+            and (
+                self.index.heavy_ub is not None
+                or self.index.bank_on_demand
+            )
             and self.index.num_docs_pad >= self.prune_min_docs
         ):
             return False
@@ -1891,6 +2098,7 @@ class RowExecutor:
             len(plans) >= self.approx_min_q
             or not pure_or
             or idx.num_docs_pad >= self.batch_only_min_docs
+            or idx.bank_on_demand  # no resident bank for the solo path
             or self._force_batch
         )
         if batch_mode:
