@@ -451,6 +451,13 @@ def _run(args, holder):
                         "mixed_vs_baseline"):
                 if key in tier:
                     scale_records[key.replace("_", f"_{tag}_", 1)] = tier[key]
+            if "mixed_qps" not in tier:
+                # a timeout-recovered interim line is or20-only; mark the
+                # missing mixed phase explicitly instead of silently
+                # omitting its keys
+                scale_records[f"mixed_{tag}_error"] = tier.get(
+                    "mixed_error", f"rc={tier_rc}: mixed phase missing"
+                )[:120]
             log(f"scale {tag} ({time.time() - t0:.0f}s): "
                 f"or20 {tier.get('or20_qps', 0):,} qps = "
                 f"{tier.get('or20_vs_baseline')}x; mixed "

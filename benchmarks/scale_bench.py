@@ -6,9 +6,12 @@ each tier gets a clean HBM (a 10M-doc tier sharing a process with the
 1M tier's banks OOMs a 16 GB chip — the round-3 RESOURCE_EXHAUSTED).
 Standalone use keeps knobs for batch size / tile budget experiments.
 
-Prints ONE JSON line to stdout:
+Prints up to TWO JSON lines to stdout — an interim or20-only line as
+soon as the or20 phase finishes (so a caller's subprocess timeout during
+the mixed phase can still recover the tier), then the full line:
   {"or20_qps": N, "or20_vs_baseline": N, "mixed_qps": N,
    "mixed_vs_baseline": N, "parity": "bit-exact"}
+Consumers must take the LAST JSON line (bench.py does).
 """
 
 from __future__ import annotations

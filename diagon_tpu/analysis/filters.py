@@ -21,17 +21,30 @@ ENGLISH_STOP_WORDS = frozenset(
 )
 
 
-# Common Chinese function-word stop set (reference StopFilter.cpp
-# StopWordSet::CHINESE plays the same role for its Jieba word stream).
-# Under bigram tokenization single-character entries match length-1 CJK
-# runs and two-character entries match their bigram token directly.
+# The reference's Chinese stop set, mirrored exactly
+# (StopFilter::getChineseStopWords, StopFilter.cpp:42-68). Under bigram
+# tokenization single-character entries match length-1 CJK runs and
+# two-character entries match their bigram token directly.
 CHINESE_STOP_WORDS = frozenset(
     [
+        # articles and particles
         "的", "了", "在", "是", "我", "有", "和", "就", "不", "人", "都",
-        "一", "上", "也", "很", "到", "说", "要", "去", "你", "会", "着",
-        "没", "看", "好", "这", "那", "与", "为", "对", "而", "且", "或",
-        "一个", "我们", "你们", "他们", "什么", "这个", "那个", "因为",
-        "所以", "但是", "如果", "虽然", "可以", "没有", "就是", "这样",
+        "一", "一个", "上", "也", "很", "到", "说", "要", "去", "你", "会",
+        "着", "没有", "看", "好", "自己", "这",
+        # conjunctions
+        "或", "而", "但", "因", "为", "与", "及", "等", "之", "于", "以",
+        "由", "从", "向", "对", "把",
+        # pronouns
+        "他", "她", "它", "我们", "你们", "他们", "那", "哪", "谁", "什么",
+        "怎么", "怎样",
+        # time/place
+        "时", "年", "月", "日", "时候", "这里", "那里", "里", "中", "下",
+        "前", "后", "间",
+        # quantifiers
+        "个", "些", "每", "各", "某", "任",
+        # others
+        "就是", "只是", "所以", "因为", "虽然", "但是", "如果", "那么",
+        "可以", "能够", "应该",
     ]
 )
 

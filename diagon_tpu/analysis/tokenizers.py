@@ -75,6 +75,9 @@ def _standard_tokenize_unicode(text: str) -> List[str]:
     # code points, keep tokens containing a letter or digit, lowercase.
     # Han/Hiragana ideographs are emitted one token per character, matching
     # UAX#29 (and Lucene's StandardTokenizer) on Chinese/Japanese text.
+    # ANALYSIS-COMPAT NOTE: before 70d964b the 'standard' analyzer emitted
+    # CJK RUNS as single tokens; indexes holding CJK text built with that
+    # code do not match queries analyzed by this one — reindex them.
     tokens: List[str] = []
     cur: List[str] = []
 

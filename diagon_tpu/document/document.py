@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import enum
 from dataclasses import dataclass, field as dc_field, replace
+from functools import lru_cache
 from typing import List, Optional, Sequence, Union
 
 from diagon_tpu.analysis.tokenizers import standard_tokenize
@@ -52,6 +53,15 @@ class FieldType:
     analyzer: str = "standard"
 
 
+@lru_cache(maxsize=32)
+def _cached_analyzer(name: str):
+    """Analyzers are stateless; building one (tokenizer + stop frozenset)
+    per FIELD on the non-standard ingest path was measurable."""
+    from diagon_tpu.analysis.analyzer import analyzer_for_name
+
+    return analyzer_for_name(name)
+
+
 class Field:
     """Base field: name + value + FieldType."""
 
@@ -67,9 +77,7 @@ class Field:
         if not self.type.tokenized:
             return [str(self.value)]
         if self.type.analyzer != "standard":
-            from diagon_tpu.analysis.analyzer import analyzer_for_name
-
-            return analyzer_for_name(self.type.analyzer).analyze(
+            return _cached_analyzer(self.type.analyzer).analyze(
                 str(self.value)
             )
         return standard_tokenize(str(self.value))
@@ -102,6 +110,10 @@ class TextField(Field):
                 if analyzer == "standard"
                 else replace(TEXT_FIELD_TYPE, analyzer=analyzer)
             )
+        elif analyzer != "standard" and ftype.analyzer != analyzer:
+            # an explicit ftype used to silently win over the analyzer
+            # argument; apply the explicit analyzer instead
+            ftype = replace(ftype, analyzer=analyzer)
         super().__init__(name, value, ftype)
 
 
@@ -123,6 +135,22 @@ class NumericDocValuesField(Field):
     def __init__(self, name: str, value: int):
         super().__init__(
             name, int(value), FieldType(doc_values_type=DocValuesType.NUMERIC)
+        )
+
+
+class DoubleDocValuesField(Field):
+    """Double stored as its int64 bit pattern in NUMERIC doc values
+    (the reference's convention, ``diagon_c_api.cpp:441``: bit_cast
+    preserves full precision where a static_cast would truncate).
+    Queried by ``DoubleRangeQuery``."""
+
+    def __init__(self, name: str, value: float):
+        import struct
+
+        bits = struct.unpack("<q", struct.pack("<d", float(value)))[0]
+        Field.__init__(
+            self, name, bits,
+            FieldType(doc_values_type=DocValuesType.NUMERIC),
         )
 
 
