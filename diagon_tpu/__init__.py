@@ -45,6 +45,7 @@ from diagon_tpu.document.document import (  # noqa: F401
     SortedSetDocValuesField,
     BinaryDocValuesField,
     LongPointField,
+    DoubleDocValuesField,
     DoublePointField,
     IndexOptions,
     FieldType,

@@ -7,6 +7,7 @@ SURVEY.md section 2.6).
 from diagon_tpu.document.document import (  # noqa: F401
     BinaryDocValuesField,
     Document,
+    DoubleDocValuesField,
     DoublePointField,
     Field,
     FieldType,

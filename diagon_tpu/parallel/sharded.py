@@ -382,7 +382,7 @@ class ShardedSearcher:
 
     _GENERAL = (
         "BooleanQuery", "PhraseQuery", "NumericRangeQuery",
-        "PointRangeQuery", "MatchAllDocsQuery",
+        "PointRangeQuery", "DoubleRangeQuery", "MatchAllDocsQuery",
     )
 
     def _clauses(self, q: Query) -> Optional[Tuple[list, int]]:
@@ -455,10 +455,12 @@ class ShardedSearcher:
         """One shard's flat clause specs in oracle order:
         (hterm_row, host_row, weight, scoring, is_req, is_sho, is_neg)."""
         from diagon_tpu.search.oracle import (
+            double_range_mask,
             numeric_range_mask,
             point_range_mask,
         )
         from diagon_tpu.search.query import (
+            DoubleRangeQuery,
             MatchAllDocsQuery,
             NumericRangeQuery,
             PointRangeQuery,
@@ -520,13 +522,18 @@ class ShardedSearcher:
                     continue
                 if isinstance(
                     q, (NumericRangeQuery, PointRangeQuery,
-                        MatchAllDocsQuery)
+                        DoubleRangeQuery, MatchAllDocsQuery)
                 ):
                     if isinstance(q, MatchAllDocsQuery):
                         row = np.ones(seg.num_docs, np.float32)
                     elif isinstance(q, NumericRangeQuery):
                         row = numeric_range_mask(
                             seg, q.field, q.lower, q.upper
+                        ).astype(np.float32)
+                    elif isinstance(q, DoubleRangeQuery):
+                        row = double_range_mask(
+                            seg, q.field, q.lower, q.upper,
+                            q.include_lower, q.include_upper,
                         ).astype(np.float32)
                     else:
                         row = point_range_mask(

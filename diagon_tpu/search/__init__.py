@@ -14,6 +14,7 @@ from diagon_tpu.search.query import (  # noqa: F401
     Occur,
     PhraseQuery,
     MatchAllDocsQuery,
+    DoubleRangeQuery,
     NumericRangeQuery,
     PointRangeQuery,
 )

@@ -22,6 +22,7 @@ from diagon_tpu.index.segment import SegmentData
 from diagon_tpu.search.bm25 import BM25Similarity
 from diagon_tpu.search.query import (
     BooleanQuery,
+    DoubleRangeQuery,
     MatchAllDocsQuery,
     NumericRangeQuery,
     Occur,
@@ -50,6 +51,37 @@ def numeric_range_mask(seg: SegmentData, field: str, lower, upper) -> np.ndarray
         mask[dv.docs[ok]] = True
     else:
         # multi-valued CSR: a doc matches if ANY of its values matches
+        starts = dv.value_start
+        if len(dv.docs):
+            doc_ok = np.add.reduceat(ok.astype(np.int64), starts[:-1]) > 0
+            mask[dv.docs[doc_ok]] = True
+    return mask
+
+
+def double_range_mask(
+    seg: SegmentData,
+    field: str,
+    lower,
+    upper,
+    include_lower: bool = True,
+    include_upper: bool = True,
+) -> np.ndarray:
+    """bool [num_docs]: docs whose DOUBLE doc value (stored as the
+    double's int64 bit pattern, reference ``diagon_c_api.cpp:441``) is
+    in the given open/closed range (``DoubleRangeQuery.cpp`` scorer)."""
+    mask = np.zeros(seg.num_docs, dtype=bool)
+    dv = seg.doc_values.get(field)
+    if dv is None:
+        return mask
+    vals = dv.values.view(np.float64)
+    ok = np.ones(len(vals), dtype=bool)
+    if lower is not None:
+        ok &= (vals >= lower) if include_lower else (vals > lower)
+    if upper is not None:
+        ok &= (vals <= upper) if include_upper else (vals < upper)
+    if dv.value_start is None:
+        mask[dv.docs[ok]] = True
+    else:
         starts = dv.value_start
         if len(dv.docs):
             doc_ok = np.add.reduceat(ok.astype(np.int64), starts[:-1]) > 0
@@ -199,6 +231,13 @@ class OracleSearcher:
 
         if isinstance(query, NumericRangeQuery):
             mask = numeric_range_mask(seg, query.field, query.lower, query.upper)
+            return mask.astype(np.float32), mask
+
+        if isinstance(query, DoubleRangeQuery):
+            mask = double_range_mask(
+                seg, query.field, query.lower, query.upper,
+                query.include_lower, query.include_upper,
+            )
             return mask.astype(np.float32), mask
 
         if isinstance(query, PointRangeQuery):

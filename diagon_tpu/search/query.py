@@ -155,3 +155,46 @@ class PointRangeQuery(Query):
 
     def __repr__(self):
         return f"PointRangeQuery({self.field}:[{self.lower},{self.upper}])"
+
+
+class DoubleRangeQuery(Query):
+    """Range over DOUBLE doc values with open/closed bounds
+    (reference ``DoubleRangeQuery.cpp``: NumericDocValues hold the
+    double's int64 bit pattern — ``diagon_c_api.cpp:441`` — and the
+    scorer bit-casts back and filters; constant score 1.0)."""
+
+    def __init__(
+        self,
+        field: str,
+        lower: Optional[float] = None,
+        upper: Optional[float] = None,
+        include_lower: bool = True,
+        include_upper: bool = True,
+    ):
+        self.field = field
+        self.lower = lower
+        self.upper = upper
+        self.include_lower = include_lower
+        self.include_upper = include_upper
+
+    @classmethod
+    def new_upper_bound_query(cls, field: str, upper: float,
+                              include_upper: bool = True):
+        return cls(field, None, upper, include_upper=include_upper)
+
+    @classmethod
+    def new_lower_bound_query(cls, field: str, lower: float,
+                              include_lower: bool = True):
+        return cls(field, lower, None, include_lower=include_lower)
+
+    @classmethod
+    def new_exact_query(cls, field: str, value: float):
+        return cls(field, value, value)
+
+    def __repr__(self):
+        lo = "[" if self.include_lower else "("
+        hi = "]" if self.include_upper else ")"
+        return (
+            f"DoubleRangeQuery({self.field}:{lo}{self.lower},"
+            f"{self.upper}{hi})"
+        )

@@ -41,6 +41,7 @@ from diagon_tpu.search.engine import (
 from diagon_tpu.search.query import (
     BooleanQuery,
     MatchAllDocsQuery,
+    DoubleRangeQuery,
     NumericRangeQuery,
     Occur,
     PhraseQuery,
@@ -309,7 +310,9 @@ class IndexSearcher:
     def _device_rangeable(q: Query) -> bool:
         """Non-term clause types executable as host indicator rows."""
         return isinstance(
-            q, (NumericRangeQuery, PointRangeQuery, MatchAllDocsQuery)
+            q,
+            (NumericRangeQuery, PointRangeQuery, DoubleRangeQuery,
+             MatchAllDocsQuery),
         )
 
     def _any_field(self) -> Optional[str]:
@@ -335,7 +338,9 @@ class IndexSearcher:
         if isinstance(query, TermQuery):
             return query.term.field, [(query, Occur.SHOULD)], 1
         if isinstance(
-            query, (NumericRangeQuery, PointRangeQuery, MatchAllDocsQuery)
+            query,
+            (NumericRangeQuery, PointRangeQuery, DoubleRangeQuery,
+             MatchAllDocsQuery),
         ):
             field = self._any_field()
             if field is None:
@@ -355,6 +360,7 @@ class IndexSearcher:
                     PhraseQuery,
                     NumericRangeQuery,
                     PointRangeQuery,
+                    DoubleRangeQuery,
                     MatchAllDocsQuery,
                 ),
             ):
@@ -401,6 +407,13 @@ class IndexSearcher:
             return point_range_mask(seg, q.field, q.lower, q.upper).astype(
                 np.float32
             )
+        if isinstance(q, DoubleRangeQuery):
+            from diagon_tpu.search.oracle import double_range_mask
+
+            return double_range_mask(
+                seg, q.field, q.lower, q.upper,
+                q.include_lower, q.include_upper,
+            ).astype(np.float32)
         raise TypeError(f"no host row for {q!r}")
 
     def _oracle_rows(self, si: int, q: Query):
