@@ -30,9 +30,16 @@ from jax.experimental.pallas import tpu as pltpu
 NSLOT = 8  # in-flight slab DMAs per query (ring kernel)
 
 # The resident kernel holds BOTH double-buffered slab sets in VMEM:
-# 2 * U8 * B * LANE * 4 bytes. Budget well under the ~16 MB/core so the
-# output blocks + compiler temporaries fit; bigger batches use the ring.
-RESIDENT_VMEM_BUDGET = 6 << 20
+# 2 * U8 * B * LANE * 4 bytes. Mosaic's scoped footprint is ~3.2x that
+# (dynamic-slice temporaries in the unrolled clause loop — measured:
+# a 5.98 MB slab scratch compiled to a 19.21 MB scoped allocation and
+# OOM'd the 16 MB VMEM budget at Q=896 B=146 U8=40, the 10M-doc mixed
+# tier), so the slab budget stays at 4 MB and larger B rescoreds run in
+# B-chunks (see pallas_gather_rescore; chunking is bit-invariant).
+RESIDENT_VMEM_BUDGET = 4 << 20
+# below this chunk width the per-call overhead beats the resident
+# kernel's vector ops; huge-U8 banks fall back to the DMA ring
+RESIDENT_MIN_CHUNK = 16
 
 
 def _mk_kernel(B: int, Tq: int, boolean: bool):
@@ -370,6 +377,26 @@ def pallas_gather_rescore(
     boolean = flags is not None
 
     resident = 2 * U8 * B * LANE * 4 <= RESIDENT_VMEM_BUDGET
+    if not resident:
+        # B-chunked resident calls: accumulation is per (query, tile), so
+        # splitting the tile axis changes nothing bit-wise; each chunk's
+        # slab scratch fits the budget. Only huge-U8 banks (chunk < 16
+        # tiles) fall back to the latency-bound DMA ring.
+        bc = (RESIDENT_VMEM_BUDGET // (2 * U8 * LANE * 4)) or 1
+        if bc >= RESIDENT_MIN_CHUNK and bc < B:
+            parts = [
+                pallas_gather_rescore(
+                    compact_t, cidx, tsel[:, o : o + bc], flags,
+                    interpret=interpret,
+                )
+                for o in range(0, B, bc)
+            ]
+            if boolean:
+                return tuple(
+                    jnp.concatenate([p[i] for p in parts], axis=1)
+                    for i in range(4)
+                )
+            return jnp.concatenate(parts, axis=1)
     n_out = 4 if boolean else 1
     scalars = (
         (cidx.T, tsel.T, flags.T) if boolean else (cidx.T, tsel.T)

@@ -432,3 +432,43 @@ def test_union_rescore_matches_gather(boolean):
         a, b = (a,), (b,)
     for x, y in zip(a, b):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("boolean", [False, True])
+def test_chunked_resident_rescore_matches_single(boolean, monkeypatch):
+    """Batches whose slab set exceeds the resident budget split the tile
+    axis into B-chunks, each its own resident call (the 10M mixed tier's
+    Q=896 B=146 U8=40 shape compiled a 19.21 MB scoped allocation and
+    OOM'd the 16 MB VMEM budget as ONE call). Accumulation is per
+    (query, tile), so chunking must be bit-invariant."""
+    import jax.numpy as jnp
+
+    from diagon_tpu.ops.pallas import gather_rescore as gr
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    G, U8, LANE, Q, Tq, B = 48, 16, 128, 8, 5, 40
+    bank = rng.normal(size=(G, U8, LANE)).astype(np.float32)
+    bank[:, 0, :] = 0.0
+    bank[bank < 0] = 0.0
+    cidx = rng.integers(0, U8, size=(Q, Tq)).astype(np.int32)
+    tsel = np.sort(
+        np.stack([rng.choice(G, size=B, replace=False) for _ in range(Q)]),
+        axis=1,
+    ).astype(np.int32)
+    flags = (
+        rng.integers(0, 16, size=(Q, Tq)).astype(np.int32)
+        if boolean
+        else None
+    )
+    args = (jnp.asarray(bank), jnp.asarray(cidx), jnp.asarray(tsel))
+    fl = jnp.asarray(flags) if boolean else None
+    whole = gr.pallas_gather_rescore(*args, fl, interpret=True)
+    # slab bytes/tile = 2*U8*LANE*4 = 16 KiB; a 300 KiB budget admits
+    # bc=18 tiles/chunk (>= RESIDENT_MIN_CHUNK) while the whole B=40
+    # slab set (640 KiB) exceeds it -> chunks of 18/18/4
+    monkeypatch.setattr(gr, "RESIDENT_VMEM_BUDGET", 300 << 10)
+    chunked = gr.pallas_gather_rescore(*args, fl, interpret=True)
+    if not boolean:
+        whole, chunked = (whole,), (chunked,)
+    for x, y in zip(whole, chunked):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
