@@ -401,11 +401,17 @@ def _run(args, holder):
 
     # ---- scale tiers (one capped SUBPROCESS per tier: a clean HBM each —
     # the 10M tier OOMs a 16 GB chip if the 1M tier's banks are still
-    # resident; scale_bench.py shares the jax compile + oracle caches) ----
+    # resident; scale_bench.py shares the jax compile + oracle caches).
+    # The 10M tier runs LAST and the component benches run BEFORE it:
+    # in round 3 the 10M tier ate the whole budget and the round recorded
+    # NO columnar/sparse numbers at all. holder["result"] is refreshed
+    # after every stage so a budget overrun still emits everything
+    # measured so far. ----
     import subprocess
 
     scale_records = {}
-    for docs, min_need in ((1_000_000, 150), (10_000_000, 220)):
+
+    def run_tier(docs, min_need):
         cached = os.path.isdir(
             os.path.join(CACHE_DIR, f"segment_{docs}.bnd.d")
         ) or os.path.exists(os.path.join(CACHE_DIR, f"segment_{docs}.pkl"))
@@ -413,11 +419,11 @@ def _run(args, holder):
             if not args.quick:
                 log(f"skipping {docs}-doc tier (remaining {remaining():.0f}s"
                     f" < {min_need}s)")
-            continue
+            return
         if not cached:
             log(f"skipping {docs}-doc tier (no cached segment — "
                 "scripts/build_scale.py)")
-            continue
+            return
         tag = f"{docs // 1_000_000}m"
         try:
             t0 = time.time()
@@ -466,6 +472,21 @@ def _run(args, holder):
         except Exception as exc:  # a failed tier must not eat the JSON
             log(f"scale tier {tag} FAILED: {exc!r:.300}")
             scale_records[f"or20_{tag}_error"] = str(exc)[:120]
+
+    run_tier(1_000_000, 150)
+    result.update(scale_records)
+    holder["result"] = dict(result)
+
+    # component benches BEFORE the 10M tier: the 10M tier is the budget
+    # hog, and a round must never end with zero columnar/sparse evidence
+    # (round 3 did exactly that)
+    holder["stage"] = "component benches"
+    if not args.quick:
+        component_benches(result, reserve=240)
+        holder["result"] = dict(result)
+
+    holder["stage"] = "10m tier"
+    run_tier(10_000_000, 220)
     result.update(scale_records)
 
     # ======== THE one JSON line (everything below is best-effort) ========
@@ -510,6 +531,52 @@ def _run(args, holder):
             )
     except Exception as exc:  # pragma: no cover
         log(f"RESULTS.md write failed: {exc}")
+
+
+def component_benches(result, reserve=240):
+    """Columnar + sparse component benches as capped subprocesses.
+
+    Runs BEFORE the 10M scale tier (the budget hog) and writes flat keys
+    into the headline result dict so BENCH_rN.json always carries them.
+    `reserve` seconds are left for the 10M tier when the budget allows.
+    """
+    import subprocess
+
+    for name, cmd, keys in (
+        ("columnar",
+         [sys.executable, "benchmarks/columnar_bench.py",
+          "--rows", "1000000"],
+         (("columnar_q9_us", "value"),
+          ("columnar_vs_ref_geomean", "vs_reference_geomean"))),
+        ("sparse",
+         [sys.executable, "benchmarks/sparse_bench.py",
+          "--docs", "50000"],
+         (("sparse_qps", "value"), ("sparse_recall10", "recall10"))),
+    ):
+        cap = min(150, remaining() - reserve)
+        if cap < 45:
+            log(f"skipping component bench {name} "
+                f"(remaining {remaining():.0f}s, reserve {reserve}s)")
+            result[f"{name}_error"] = "skipped: out of budget"
+            continue
+        try:
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=cap
+            )
+            sys.stderr.write((out.stderr or "")[-2000:])
+            line = out.stdout.strip().splitlines()[-1] if out.stdout else ""
+            if line.startswith("{"):
+                comp = json.loads(line)
+                for flat, src in keys:
+                    if src in comp:
+                        result[flat] = comp[src]
+                log(f"component bench {name}: {comp}")
+            else:
+                result[f"{name}_error"] = f"rc={out.returncode}"
+                log(f"component bench {name} FAILED rc={out.returncode}")
+        except Exception as exc:  # pragma: no cover
+            result[f"{name}_error"] = str(exc)[:120]
+            log(f"component bench {name} FAILED: {exc!r:.200}")
 
 
 def run_extras(args, searcher, oracle, extras):
@@ -594,35 +661,8 @@ def run_extras(args, searcher, oracle, extras):
         extras["or20_e2e_qps"] = round(Q / e2e)
         log(f"or20 end-to-end (incl. tunnel readback): {Q / e2e:,.0f} qps")
 
-    # component benches as capped subprocesses
-    if not args.quick:
-        import subprocess
-
-        for name, cmd in (
-            ("columnar", [sys.executable, "benchmarks/columnar_bench.py",
-                          "--rows", "1000000"]),
-            ("sparse", [sys.executable, "benchmarks/sparse_bench.py",
-                        "--docs", "50000"]),
-        ):
-            cap = min(remaining() - 20, 180)
-            if cap < 60:
-                log(f"skipping component bench {name} (out of budget)")
-                continue
-            try:
-                out = subprocess.run(
-                    cmd, capture_output=True, text=True, timeout=cap
-                )
-                line = (
-                    out.stdout.strip().splitlines()[-1] if out.stdout else ""
-                )
-                extras[name] = (
-                    json.loads(line)
-                    if line.startswith("{")
-                    else {"rc": out.returncode}
-                )
-            except Exception as exc:  # pragma: no cover
-                extras[name] = {"error": str(exc)[:200]}
-            log(f"component bench {name}: {extras[name]}")
+    # component benches run in _run BEFORE the 10M tier (budget priority);
+    # their numbers land in the headline result, not extras
 
 
 if __name__ == "__main__":

@@ -132,7 +132,9 @@ def main():
         f"reranked (certified): {np.mean(rec_r):.3f}")
 
     print(json.dumps({"metric": "sparse_top10_qps", "value": round(qps, 1),
-                      "unit": "qps"}))
+                      "unit": "qps",
+                      "recall10": round(float(np.mean(rec_q)), 3),
+                      "recall10_rerank": round(float(np.mean(rec_r)), 3)}))
 
 
 if __name__ == "__main__":
