@@ -1037,7 +1037,16 @@ def _scatter_bank_rows(bank, meta, packed_dev, norms_dev, lut_dev, F,
     nbg = len(meta["woff"])
     CH = _BANK_BUILD_CHUNK
     n_chunks = max(1, -(-nbg // CH))
-    npad = n_chunks * CH - nbg if nbg > CH else 0
+    if nbg > CH:
+        npad = n_chunks * CH - nbg
+    else:
+        # pad sub-chunk builds to a power-of-two bucket (floor 4096):
+        # every DISTINCT block count otherwise compiles its own
+        # _build_bank_chunk kernel, and the 10M on-demand build's
+        # per-row-group counts are all distinct — dozens of multi-second
+        # compiles per cold batch. Buckets cap that at 5 shapes.
+        bucket = min(CH, max(4096, 1 << max(0, nbg - 1).bit_length()))
+        npad = bucket - nbg
     if npad:
         meta = {
             kk: np.concatenate([v, np.zeros(npad, dtype=v.dtype)])
@@ -2159,7 +2168,15 @@ class RowExecutor:
         """Batch-length bucket: serving batches vary by a few queries
         between calls (purity splits, dedup) and every distinct Q is a
         fresh XLA compile (~0.7 s/kernel pair, measured 14 s for one new
-        1024-query mixed batch). Bounded buckets cap overhead at ~12%."""
+        1024-query mixed batch). Bounded buckets cap overhead at ~12%.
+
+        Below 8 the buckets are powers of two: a homogeneous serving
+        burst dedups to ONE unique plan, and padding it 1 -> 8 octuples
+        phase-1 product columns AND phase-2 tile rescores — measured as
+        the or20-10M regression 18.4x -> 11.6x (the pad landed in
+        ad42672 between the two recorded runs)."""
+        if q <= 8:
+            return max(1, 1 << (q - 1).bit_length())
         if q <= 64:
             return -(-q // 8) * 8
         if q <= 256:

@@ -381,7 +381,7 @@ def test_q_bucket_padding_parity():
     _force_pruned(searcher, "body", 16, approx_min_q=1)
     oracle = OracleSearcher([seg])
     terms = [f"w{i}" for i in range(30)] + ["oil", "price"]
-    for n in (7, 9, 63, 65, 129):
+    for n in (1, 2, 3, 5, 7, 9, 63, 65, 129):
         qs = [TermQuery("body", terms[i % len(terms)]) for i in range(n)]
         got = searcher.search_batch(qs, 10)
         for q, g in zip(qs, got):
