@@ -43,7 +43,7 @@ CACHE_DIR = os.path.expanduser("~/.cache/diagon_tpu")
 BASELINE_OR20_QPS = 1e6 / 165.0  # reference OR-20 P50 165us -> 6060.6 QPS
 
 T0 = time.time()
-DEADLINE = [T0 + 560.0]
+DEADLINE = [T0 + 780.0]
 
 
 def remaining() -> float:
@@ -290,7 +290,12 @@ def _parse_args():
     ap.add_argument(
         "--budget",
         type=float,
-        default=float(os.environ.get("BENCH_BUDGET_S", 560)),
+        # 780 (was 560): the r2 driver kill (rc=124) landed only after the
+        # 710 s parity stage plus several later stages, so the external
+        # cap is >=~900 s; 780 + the emergency JSON at budget-10 keeps a
+        # >100 s margin while admitting the full 10M tier (or20 + mixed)
+        # and both component benches on a warm compile cache
+        default=float(os.environ.get("BENCH_BUDGET_S", 780)),
         help="global wall-clock budget (s); the JSON line always prints "
         "before this elapses",
     )
@@ -482,11 +487,11 @@ def _run(args, holder):
     # (round 3 did exactly that)
     holder["stage"] = "component benches"
     if not args.quick:
-        component_benches(result, reserve=240)
+        component_benches(result, reserve=300)
         holder["result"] = dict(result)
 
     holder["stage"] = "10m tier"
-    run_tier(10_000_000, 220)
+    run_tier(10_000_000, 200)
     result.update(scale_records)
 
     # ======== THE one JSON line (everything below is best-effort) ========
@@ -533,7 +538,7 @@ def _run(args, holder):
         log(f"RESULTS.md write failed: {exc}")
 
 
-def component_benches(result, reserve=240):
+def component_benches(result, reserve=300):
     """Columnar + sparse component benches as capped subprocesses.
 
     Runs BEFORE the 10M scale tier (the budget hog) and writes flat keys

@@ -92,7 +92,9 @@ def main():
     # serving throughput: chained dispatches, one scalar probe forcing the
     # chain (same device-time methodology as bench.py — the tunnel here
     # adds ~25 ms per readback, which a per-batch collect would serialize)
+    t0 = time.time()
     res = searcher.search_batch(qs, 10)  # compile + warm
+    log(f"warm-up batch (compile): {time.time() - t0:.1f}s")
     nb = 8
     times = []
     for _ in range(5):
@@ -108,6 +110,7 @@ def main():
     # bit-exactness vs the quantized numpy oracle on a batch sample (the
     # pruned path's certificate escalates any unsafe query, so device
     # results must equal the oracle exactly)
+    t0 = time.time()
     for qi in range(0, args.queries, max(1, args.queries // 8)):
         s_d, d_d, h_d = res[qi]
         s_o, d_o, h_o = searcher.search_oracle(qs[qi], 10)
@@ -115,21 +118,31 @@ def main():
         assert h_d == h_o and all(
             np.float32(a) == np.float32(b) for a, b in zip(s_d, s_o)
         ), f"parity FAIL q{qi}"
-    log("batch sample: bit-exact vs quantized oracle")
+    log(f"batch sample: bit-exact vs quantized oracle "
+        f"({time.time() - t0:.1f}s)")
 
     # recall vs exact over the FULL corpus (search_exact is the
     # vectorized CSR oracle; a subsampled oracle understates recall
-    # because the searcher ranks over all docs)
+    # because the searcher ranks over all docs). Quantized recall reads
+    # the warm-up batch results; the certified rerank runs as ONE batched
+    # dispatch (search_rerank_batch) — per-query device calls would each
+    # compile fresh singleton shapes (~190 s cold, the r3 bench timeout).
+    t0 = time.time()
+    nrec = 8
+    rerank = searcher.search_rerank_batch(qs[:nrec], 10, R=512)
     rec_q, rec_r = [], []
-    for q in qs[:8]:
-        es, ed, _ = searcher.search_exact(q, 10)
+    for qi in range(nrec):
+        es, ed, _ = searcher.search_exact(qs[qi], 10)
         exact_top = set(int(d) for d in ed)
-        _, dq, _ = searcher.search(q, 10)
-        rec_q.append(len(exact_top & set(int(d) for d in dq)) / 10.0)
-        _, dr, _ = searcher.search_rerank(q, 10)
-        rec_r.append(len(exact_top & set(int(d) for d in dr)) / 10.0)
+        rec_q.append(
+            len(exact_top & set(int(d) for d in res[qi][1][:10])) / 10.0
+        )
+        rec_r.append(
+            len(exact_top & set(int(d) for d in rerank[qi][1])) / 10.0
+        )
     log(f"recall@10 quantized: {np.mean(rec_q):.3f}  "
-        f"reranked (certified): {np.mean(rec_r):.3f}")
+        f"reranked (certified): {np.mean(rec_r):.3f} "
+        f"({time.time() - t0:.1f}s)")
 
     print(json.dumps({"metric": "sparse_top10_qps", "value": round(qps, 1),
                       "unit": "qps",

@@ -259,6 +259,38 @@ class SparseSearcher:
                     continue
             return top_scores, top_docs, int(hits)
 
+    def search_rerank_batch(
+        self, queries: Sequence[SparseVector], k: int = 10, R: int = 1024
+    ):
+        """Batched exact top-k: ONE quantized device dispatch at k=R for
+        the whole batch (one compile shape), host exact rescore per query,
+        the same certificate as search_rerank, and per-query escalation
+        (rare) only for queries the certificate cannot clear. Returns a
+        list of (scores, docids, hits)."""
+        RR = min(max(R, k), self.num_docs_pad)
+        qres = self.search_batch(queries, RR)
+        out = []
+        for q, (qs, qd, hits) in zip(queries, qres):
+            if len(qd) == 0:
+                out.append((qs[:k], qd[:k], hits))
+                continue
+            hw = np.float32(0.0)
+            for t, w in zip(q.ids, q.values):
+                s = self.index.scales.get(str(int(t)))
+                if s is not None:
+                    hw += np.float32(0.5) * np.float32(w) * np.float32(s)
+            exact = self._exact_rescore(q, qd)
+            order = np.lexsort((qd, -exact))[: min(k, len(qd))]
+            top_docs, top_scores = qd[order], exact[order]
+            covered = len(qd) >= hits
+            if not covered:
+                theta = top_scores[-1] if len(top_scores) >= k else None
+                if theta is None or not (theta > qs[-1] + hw):
+                    out.append(self.search_rerank(q, k, R=RR * 4))
+                    continue
+            out.append((top_scores, top_docs, int(hits)))
+        return out
+
     def search_exact(self, query: SparseVector, k: int = 10):
         """Brute-force exact search (test oracle for the rerank path)."""
         scores = np.zeros(self.index.num_docs, dtype=np.float32)

@@ -211,3 +211,35 @@ def test_batch_pruned_parity_vs_oracle():
         assert bh == oh
         np.testing.assert_array_equal(bd, od)
         np.testing.assert_array_equal(bs, os_)
+
+
+def test_rerank_batch_matches_exact():
+    """search_rerank_batch (one batched quantized dispatch + host exact
+    rescore + certificate, escalating per query) must equal brute-force
+    exact search bit-for-bit, like search_rerank does."""
+    from diagon_tpu.sparse.index import SparseIndex, SparseSearcher
+    from diagon_tpu.sparse.vector import SparseVector
+
+    rng = np.random.Generator(np.random.PCG64(123))
+    vecs = []
+    for _ in range(700):
+        nnz = int(rng.integers(2, 12))
+        ids = rng.choice(150, nnz, replace=False)
+        vals = (rng.random(nnz) * 4 + 0.05).astype(np.float32)
+        vecs.append(SparseVector(ids, vals))
+    idx = SparseIndex.build(vecs)
+    s = SparseSearcher(idx)
+    qs = []
+    for _ in range(12):
+        nnz = int(rng.integers(1, 8))
+        qs.append(SparseVector(
+            rng.choice(150, nnz, replace=False),
+            (rng.random(nnz) * 2 + 0.1).astype(np.float32),
+        ))
+    # tiny R forces the certificate + per-query escalation path
+    got = s.search_rerank_batch(qs, k=10, R=16)
+    for q, (gs, gd, gh) in zip(qs, got):
+        ws, wd, wh = s.search_exact(q, k=10)
+        np.testing.assert_array_equal(gd, wd)
+        np.testing.assert_array_equal(gs, ws)
+        assert gh == wh
