@@ -67,8 +67,10 @@ def measure_indexing(num_docs: int) -> dict:
     t_gen = time.time() - t0
     mem = MemoryIndex()
     t0 = time.time()
-    for doc in docs:
-        mem.add_document(doc)
+    # bulk API (reference IndexWriter::addDocuments): one native call per
+    # (field, run) — the per-doc python loop peaked ~22k docs/s on this
+    # one-core host vs the reference's 43k docs/s addDocument loop
+    mem.add_documents(docs)
     t_ingest = time.time() - t0
     t0 = time.time()
     seg = flush_memory_index(mem, "_bench")
@@ -311,6 +313,10 @@ def _run(args, holder):
     jax.config.update(
         "jax_compilation_cache_dir", os.path.join(CACHE_DIR, "jax_cache")
     )
+    # tiny per-shape ops (concatenate/dynamic_slice, ~0.4 s each) dodge the
+    # default 1.0 s persistence threshold and recompile EVERY run — dozens
+    # per cold batch across partition groups
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     log(f"jax backend: {jax.default_backend()} devices={jax.devices()}")
 
     from diagon_tpu.bench.queries import (

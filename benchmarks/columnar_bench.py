@@ -70,6 +70,10 @@ def main():
         "jax_compilation_cache_dir",
         os.path.join(os.path.expanduser("~/.cache/diagon_tpu"), "jax_cache"),
     )
+    # tiny per-shape ops (concatenate/dynamic_slice, ~0.4 s each) dodge the
+    # default 1.0 s persistence threshold and recompile EVERY run — dozens
+    # per cold batch across partition groups
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from diagon_tpu.columnar import DeviceTable, read_table, write_table
     from diagon_tpu.store import RAMDirectory

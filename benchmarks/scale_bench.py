@@ -64,6 +64,10 @@ def main():
     jax.config.update(
         "jax_compilation_cache_dir", os.path.join(CACHE_DIR, "jax_cache")
     )
+    # tiny per-shape ops (concatenate/dynamic_slice, ~0.4 s each) dodge the
+    # default 1.0 s persistence threshold and recompile EVERY run — dozens
+    # per cold batch across partition groups
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     log(f"jax backend: {jax.default_backend()}")
 
     import bench

@@ -29,8 +29,12 @@ def main():
     ap.add_argument("--docs", type=int, default=50000)
     ap.add_argument("--vocab", type=int, default=30000)
     ap.add_argument("--nnz", type=int, default=120)
-    ap.add_argument("--queries", type=int, default=512,
-                    help="serving batch size")
+    ap.add_argument("--queries", type=int, default=256,
+                    help="serving batch size (256: per-query weights make "
+                    "every clause row unique, so the batch partitions into "
+                    "~512-row compact groups whose cold bank builds "
+                    "dominate warm-up — 256 queries halve that at equal "
+                    "per-query throughput)")
     args = ap.parse_args()
 
     import jax
@@ -39,6 +43,10 @@ def main():
         "jax_compilation_cache_dir",
         os.path.join(os.path.expanduser("~/.cache/diagon_tpu"), "jax_cache"),
     )
+    # tiny per-shape ops (concatenate/dynamic_slice, ~0.4 s each) dodge the
+    # default 1.0 s persistence threshold and recompile EVERY run — dozens
+    # per cold batch across partition groups
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from diagon_tpu.sparse import SparseIndex, SparseSearcher, SparseVector
 

@@ -111,6 +111,103 @@ class MemoryIndex:
         self.stored.append(stored_row)
         return doc_id
 
+    def add_documents(self, docs) -> int:
+        """Bulk ingest (reference IndexWriter::addDocuments,
+        IndexWriter.h:95-117): one native ``FreqProx.add_documents`` call
+        per (field, run) instead of one Python call per document — the
+        per-document interpreter overhead is most of the gap to the
+        reference's 43k docs/s addDocument loop (README.md:50).
+
+        Semantics match a ``for d in docs: add_document(d)`` loop exactly
+        (same doc ids, postings, norms, stored rows). Docs that cannot
+        ride the native batch (duplicate indexed field names, non-ASCII,
+        custom analyzers) fall back to add_document, splitting the batch
+        into runs around them. Returns the first assigned doc id."""
+        docs = list(docs)
+        first_id = self.num_docs
+        run: list = []
+
+        def _bulk_eligible(d) -> bool:
+            if _native_mod is None:
+                return False
+            seen = set()
+            for f in d.fields:
+                if f.type.index_options == IndexOptions.NONE:
+                    continue
+                if f.name in seen:
+                    return False  # duplicate field: order-sensitive
+                seen.add(f.name)
+                ft = f.type
+                if ft.tokenized and not (
+                    ft.analyzer == "standard"
+                    and type(f).tokenize is Field.tokenize
+                    and isinstance(f.value, str)
+                    and f.value.isascii()
+                ):
+                    return False  # python tokenizer path per doc is fine,
+                    # but keep runs homogeneous for simplicity
+            return True
+
+        def _flush_run():
+            if not run:
+                return
+            doc_id0 = self.num_docs
+            n = len(run)
+            texts: Dict[str, list] = {}
+            for j, d in enumerate(run):
+                stored_row: Dict[str, object] = {}
+                doc_id = doc_id0 + j
+                for f in d.fields:
+                    ft = f.type
+                    if ft.stored:
+                        stored_row[f.name] = f.value
+                    if ft.index_options != IndexOptions.NONE:
+                        if ft.tokenized:
+                            col = texts.get(f.name)
+                            if col is None:
+                                col = [""] * n
+                                texts[f.name] = col
+                                fb = self.fields.get(f.name)
+                                if fb is None:
+                                    self.fields[f.name] = _FieldBuffer(
+                                        index_options=ft.index_options,
+                                        with_positions=(
+                                            ft.index_options
+                                            == IndexOptions.DOCS_AND_FREQS_AND_POSITIONS
+                                        ),
+                                    )
+                            col[j] = f.value
+                        else:  # keyword fields: cheap single-term path
+                            self._add_inverted(f, doc_id)
+                    if ft.doc_values_type != DocValuesType.NONE:
+                        self._add_doc_values(f, doc_id)
+                    if ft.point_dims > 0:
+                        self._add_point(f, doc_id)
+                self.stored.append(stored_row)
+            for name, col in texts.items():
+                fb = self.fields[name]
+                if fb.native is None:
+                    fb.native = _native_mod.FreqProx()
+                counts = np.frombuffer(
+                    fb.native.add_documents(
+                        doc_id0, col, fb.with_positions
+                    ),
+                    np.int32,
+                )
+                fb.doc_count_with_field += int((counts > 0).sum())
+                self._ram_bytes += 12 * int(counts.sum())
+            self.num_docs += n
+            run.clear()
+
+        for d in docs:
+            if _bulk_eligible(d):
+                run.append(d)
+            else:
+                _flush_run()
+                self.add_document(d)
+        _flush_run()
+        return first_id
+
     def _add_inverted(self, f, doc_id: int) -> None:
         fb = self.fields.get(f.name)
         if fb is None:

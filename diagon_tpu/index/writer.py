@@ -137,10 +137,13 @@ class IndexWriter:
             return seq
 
     def add_documents(self, docs: Sequence[Document]) -> int:
+        """Bulk add (reference IndexWriter::addDocuments): the block is
+        buffered atomically (no intermediate flush) through the native
+        batch ingest path (MemoryIndex.add_documents)."""
         with self._mutex:
             self._ensure_open()
-            for d in docs:
-                self._mem.add_document(d)
+            docs = list(docs)
+            self._mem.add_documents(docs)
             self._seq_no += len(docs)
             seq = self._seq_no
             self._maybe_flush()
