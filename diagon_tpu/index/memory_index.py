@@ -138,14 +138,20 @@ class MemoryIndex:
                     return False  # duplicate field: order-sensitive
                 seen.add(f.name)
                 ft = f.type
-                if ft.tokenized and not (
-                    ft.analyzer == "standard"
-                    and type(f).tokenize is Field.tokenize
-                    and isinstance(f.value, str)
-                    and f.value.isascii()
-                ):
-                    return False  # python tokenizer path per doc is fine,
-                    # but keep runs homogeneous for simplicity
+                if ft.tokenized:
+                    if not (
+                        ft.analyzer == "standard"
+                        and type(f).tokenize is Field.tokenize
+                        and isinstance(f.value, str)
+                        and f.value.isascii()
+                    ):
+                        return False  # python tokenizer path per doc is
+                        # fine, but keep runs homogeneous for simplicity
+                elif not (isinstance(f.value, str) and f.value):
+                    # keyword path indexes str(value) — and even "" is a
+                    # term there; only plain non-empty str rides the
+                    # native case-sensitive batch
+                    return False
             return True
 
         def _flush_run():
@@ -154,6 +160,7 @@ class MemoryIndex:
             doc_id0 = self.num_docs
             n = len(run)
             texts: Dict[str, list] = {}
+            keywords: Dict[str, list] = {}
             for j, d in enumerate(run):
                 stored_row: Dict[str, object] = {}
                 doc_id = doc_id0 + j
@@ -162,23 +169,21 @@ class MemoryIndex:
                     if ft.stored:
                         stored_row[f.name] = f.value
                     if ft.index_options != IndexOptions.NONE:
-                        if ft.tokenized:
-                            col = texts.get(f.name)
-                            if col is None:
-                                col = [""] * n
-                                texts[f.name] = col
-                                fb = self.fields.get(f.name)
-                                if fb is None:
-                                    self.fields[f.name] = _FieldBuffer(
-                                        index_options=ft.index_options,
-                                        with_positions=(
-                                            ft.index_options
-                                            == IndexOptions.DOCS_AND_FREQS_AND_POSITIONS
-                                        ),
-                                    )
-                            col[j] = f.value
-                        else:  # keyword fields: cheap single-term path
-                            self._add_inverted(f, doc_id)
+                        cols = texts if ft.tokenized else keywords
+                        col = cols.get(f.name)
+                        if col is None:
+                            col = ["" if ft.tokenized else None] * n
+                            cols[f.name] = col
+                            if f.name not in self.fields:
+                                self.fields[f.name] = _FieldBuffer(
+                                    index_options=ft.index_options,
+                                    with_positions=(
+                                        ft.tokenized
+                                        and ft.index_options
+                                        == IndexOptions.DOCS_AND_FREQS_AND_POSITIONS
+                                    ),
+                                )
+                        col[j] = f.value
                     if ft.doc_values_type != DocValuesType.NONE:
                         self._add_doc_values(f, doc_id)
                     if ft.point_dims > 0:
@@ -196,6 +201,14 @@ class MemoryIndex:
                 )
                 fb.doc_count_with_field += int((counts > 0).sum())
                 self._ram_bytes += 12 * int(counts.sum())
+            for name, col in keywords.items():
+                fb = self.fields[name]
+                if fb.native is None:
+                    fb.native = _native_mod.FreqProx()
+                # case-sensitive single-term-per-doc path (StringField)
+                nk = fb.native.add_keywords(doc_id0, col)
+                fb.doc_count_with_field += int(nk)
+                self._ram_bytes += 12 * int(nk)
             self.num_docs += n
             run.clear()
 

@@ -65,6 +65,93 @@ void tokenize_ascii(const char* data, Py_ssize_t len, std::string& scratch,
     }
 }
 
+inline uint64_t hash_token_bytes(const char* p, size_t n) {
+    uint64_t h = 0x9E3779B97F4A7C15ull ^ n;
+    size_t rem = n;
+    while (rem >= 8) {
+        uint64_t k;
+        std::memcpy(&k, p, 8);
+        h = (h ^ k) * 0x9DDFEA08EB382D69ull;
+        h ^= h >> 29;
+        p += 8;
+        rem -= 8;
+    }
+    uint64_t k = 0;
+    for (size_t i = 0; i < rem; i++)
+        k = (k << 8) | static_cast<unsigned char>(p[i]);
+    h = (h ^ k) * 0x9DDFEA08EB382D69ull;
+    return h ^ (h >> 32);
+}
+
+// 256-entry character classes + lowercase table: one load per byte in the
+// hot scan instead of 3-4 range compares (the ingest loop is THE
+// throughput path, reference FastTokenizer role).
+struct CharTables {
+    unsigned char cls[256];   // 0 = separator, 1 = alnum, 2 = '
+    char low[256];
+    CharTables() {
+        for (int c = 0; c < 256; c++) {
+            unsigned char u = static_cast<unsigned char>(c);
+            cls[c] = is_alnum(u) ? 1 : (u == '\'' ? 2 : 0);
+            low[c] = lower(u);
+        }
+    }
+};
+const CharTables kTables;
+
+// Zero-copy tokenize for the accumulate path: lowercases each token into
+// a stack buffer and hashes it in the same pass, so the hot loop never
+// touches a std::string (no clear/reserve/capacity checks per token).
+// Calls fn(lowered_bytes, len, hash). Tokens longer than the stack buffer
+// (vanishingly rare in real text) go through the std::string path.
+template <typename Fn>
+void tokenize_ascii_fast(const char* data, Py_ssize_t len,
+                         std::string& scratch, Fn&& fn) {
+    constexpr Py_ssize_t kBuf = 256;
+    char buf[kBuf];
+    Py_ssize_t i = 0;
+    while (i < len) {
+        if (kTables.cls[static_cast<unsigned char>(data[i])] != 1) {
+            i++;
+            continue;
+        }
+        Py_ssize_t start = i;
+        i++;
+        while (i < len && kTables.cls[static_cast<unsigned char>(data[i])])
+            i++;
+        Py_ssize_t n = i - start;
+        if (n <= kBuf) {
+            uint64_t h = 0x9E3779B97F4A7C15ull ^ static_cast<uint64_t>(n);
+            Py_ssize_t j = start, w = 0;
+            while (j + 8 <= i) {
+                uint64_t k = 0;
+                for (int b = 0; b < 8; b++)
+                    buf[w + b] =
+                        kTables.low[static_cast<unsigned char>(data[j + b])];
+                std::memcpy(&k, buf + w, 8);
+                h = (h ^ k) * 0x9DDFEA08EB382D69ull;
+                h ^= h >> 29;
+                j += 8;
+                w += 8;
+            }
+            uint64_t k = 0;
+            for (; j < i; j++, w++) {
+                buf[w] = kTables.low[static_cast<unsigned char>(data[j])];
+                k = (k << 8) | static_cast<unsigned char>(buf[w]);
+            }
+            h = (h ^ k) * 0x9DDFEA08EB382D69ull;
+            fn(buf, static_cast<size_t>(n), h ^ (h >> 32));
+        } else {
+            scratch.clear();
+            for (Py_ssize_t j = start; j < i; j++)
+                scratch.push_back(
+                    kTables.low[static_cast<unsigned char>(data[j])]);
+            fn(scratch.data(), scratch.size(),
+               hash_token_bytes(scratch.data(), scratch.size()));
+        }
+    }
+}
+
 // ---------------------------------------------------------------------
 // standard_tokenize_ascii
 // ---------------------------------------------------------------------
@@ -116,8 +203,15 @@ struct TermStore {
     // deferred per-term tail entry: the hot loop touches only these flat
     // arrays (one line each); docs/freqs vectors are written once per
     // (term, doc) transition instead of once per token
-    std::vector<int32_t> last_doc;    // [T], -1 = no pending entry
-    std::vector<int32_t> cur_freq;    // [T]
+    // positions as ONE sequential (term_idx << 32 | pos) stream — the
+    // per-token push into per-term vectors was a random cache miss per
+    // token; the stream distributes into CSR in one pass at finish()
+    // (pos_start falls out of the freqs cumsum)
+    std::vector<uint64_t> pos_stream;
+    // packed pending entry per term: (doc+1) << 32 | freq, 0 = none —
+    // ONE cache line per token for the doc-match check + freq bump
+    // instead of two parallel arrays
+    std::vector<uint64_t> pending;    // [T]
     size_t mask;
 
     TermStore() : slot_hash(1u << 12, 0), slot_idx(1u << 12, 0),
@@ -125,29 +219,16 @@ struct TermStore {
 
     void flush_entry(uint32_t idx) {
         TermPostings& tp = posts[idx];
-        tp.docs.push_back(last_doc[idx]);
-        tp.freqs.push_back(cur_freq[idx]);
-        last_doc[idx] = -1;
+        uint64_t e = pending[idx];
+        tp.docs.push_back(static_cast<int32_t>((e >> 32) - 1));
+        tp.freqs.push_back(static_cast<int32_t>(e & 0xffffffffu));
+        pending[idx] = 0;
     }
 
     size_t size() const { return posts.size(); }
 
     static uint64_t hash_bytes(const char* p, size_t n) {
-        uint64_t h = 0x9E3779B97F4A7C15ull ^ n;
-        size_t rem = n;
-        while (rem >= 8) {
-            uint64_t k;
-            std::memcpy(&k, p, 8);
-            h = (h ^ k) * 0x9DDFEA08EB382D69ull;
-            h ^= h >> 29;
-            p += 8;
-            rem -= 8;
-        }
-        uint64_t k = 0;
-        for (size_t i = 0; i < rem; i++)
-            k = (k << 8) | static_cast<unsigned char>(p[i]);
-        h = (h ^ k) * 0x9DDFEA08EB382D69ull;
-        return h ^ (h >> 32);
+        return hash_token_bytes(p, n);
     }
 
     void grow() {
@@ -168,15 +249,23 @@ struct TermStore {
     }
 
     uint32_t find_or_insert(const std::string& t, int64_t* ram_bytes) {
+        return find_or_insert_h(t.data(), t.size(),
+                                hash_token_bytes(t.data(), t.size()),
+                                ram_bytes);
+    }
+
+    // raw-bytes + precomputed-hash form: the bulk tokenizer hashes while
+    // lowercasing, so the hot loop does zero string construction
+    uint32_t find_or_insert_h(const char* p, size_t n, uint64_t h,
+                              int64_t* ram_bytes) {
         if ((size() + 1) * 10 >= (mask + 1) * 7) grow();  // 0.7 load max
-        uint64_t h = hash_bytes(t.data(), t.size());
         size_t s = h & mask;
         while (slot_idx[s]) {
             if (slot_hash[s] == h) {
                 uint32_t idx = slot_idx[s] - 1;
                 uint64_t o = offs[idx];
-                if (offs[idx + 1] - o == t.size() &&
-                    std::memcmp(arena.data() + o, t.data(), t.size()) == 0)
+                if (offs[idx + 1] - o == n &&
+                    std::memcmp(arena.data() + o, p, n) == 0)
                     return idx;
             }
             s = (s + 1) & mask;
@@ -184,12 +273,11 @@ struct TermStore {
         uint32_t idx = static_cast<uint32_t>(size());
         slot_hash[s] = h;
         slot_idx[s] = idx + 1;
-        arena.append(t);
+        arena.append(p, n);
         offs.push_back(arena.size());
         posts.emplace_back();
-        last_doc.push_back(-1);
-        cur_freq.push_back(0);
-        *ram_bytes += 64 + static_cast<int64_t>(t.size());
+        pending.push_back(0);
+        *ram_bytes += 64 + static_cast<int64_t>(n);
         return idx;
     }
 };
@@ -233,21 +321,21 @@ PyObject* FreqProx_add_document(FreqProxObject* self, PyObject* args) {
     std::string tok;
     int32_t pos = 0;
     auto& terms = *self->terms;
-    tokenize_ascii(data, len, tok, [&](const std::string& t) {
-        uint32_t idx = terms.find_or_insert(t, &self->ram_bytes);
-        if (terms.last_doc[idx] == doc_id) {
-            terms.cur_freq[idx] += 1;
+    tokenize_ascii_fast(data, len, tok, [&](const char* tp, size_t tn,
+                                            uint64_t th) {
+        uint32_t idx = terms.find_or_insert_h(tp, tn, th, &self->ram_bytes);
+        uint64_t e = terms.pending[idx];
+        if ((e >> 32) == static_cast<uint64_t>(doc_id) + 1) {
+            terms.pending[idx] = e + 1;
         } else {
-            if (terms.last_doc[idx] >= 0) terms.flush_entry(idx);
-            terms.last_doc[idx] = doc_id;
-            terms.cur_freq[idx] = 1;
-            if (with_positions) {
-                TermPostings& tp = terms.posts[idx];
-                tp.pos_start.push_back(
-                    static_cast<int64_t>(tp.positions.size()));
-            }
+            if (e) terms.flush_entry(idx);
+            terms.pending[idx] =
+                ((static_cast<uint64_t>(doc_id) + 1) << 32) | 1u;
         }
-        if (with_positions) terms.posts[idx].positions.push_back(pos);
+        if (with_positions)
+            terms.pos_stream.push_back(
+                (static_cast<uint64_t>(idx) << 32) |
+                static_cast<uint32_t>(pos));
         self->ram_bytes += 12;
         pos++;
     });
@@ -273,7 +361,7 @@ PyObject* FreqProx_finish(FreqProxObject* self, PyObject* args) {
     TermStore& terms = *self->terms;
     size_t T = terms.size();
     for (size_t t = 0; t < T; t++)  // flush deferred tail entries
-        if (terms.last_doc[t] >= 0)
+        if (terms.pending[t])
             terms.flush_entry(static_cast<uint32_t>(t));
     const char* ar = terms.arena.data();
     std::vector<uint32_t> order(T);
@@ -289,20 +377,20 @@ PyObject* FreqProx_finish(FreqProxObject* self, PyObject* args) {
     std::string term_blob;
     std::vector<int64_t> term_offsets(T + 1, 0);
     std::vector<int64_t> entry_start(T + 1, 0);
-    size_t total_entries = 0, total_positions = 0;
-    for (size_t t = 0; t < T; t++) {
-        const TermPostings& tp = terms.posts[t];
-        total_entries += tp.docs.size();
-        total_positions += tp.positions.size();
-    }
+    size_t total_entries = 0;
+    for (size_t t = 0; t < T; t++)
+        total_entries += terms.posts[t].docs.size();
+    size_t total_positions = terms.pos_stream.size();
     term_blob.reserve(terms.arena.size());
 
     std::vector<int32_t> docs(total_entries), freqs(total_entries);
     std::vector<int64_t> pos_start;
     std::vector<int32_t> positions;
+    std::vector<uint64_t> pos_cursor;  // per ORIGINAL term id
     if (with_positions) {
         pos_start.resize(total_entries + 1);
         positions.resize(total_positions);
+        pos_cursor.assign(T, 0);
     }
 
     size_t e = 0, p = 0;
@@ -318,17 +406,24 @@ PyObject* FreqProx_finish(FreqProxObject* self, PyObject* args) {
         std::memcpy(freqs.data() + e, tp.freqs.data(),
                     tp.freqs.size() * sizeof(int32_t));
         if (with_positions) {
-            for (size_t j = 0; j < tp.docs.size(); j++)
-                pos_start[e + j] = static_cast<int64_t>(p) + tp.pos_start[j];
-            std::memcpy(positions.data() + p, tp.positions.data(),
-                        tp.positions.size() * sizeof(int32_t));
-            p += tp.positions.size();
+            // pos_start = running freqs cumsum; the stream then lands
+            // each term's positions contiguously in (doc, pos) order
+            pos_cursor[id] = p;
+            for (size_t j = 0; j < tp.docs.size(); j++) {
+                pos_start[e + j] = static_cast<int64_t>(p);
+                p += static_cast<size_t>(tp.freqs[j]);
+            }
         }
         e += tp.docs.size();
     }
     term_offsets[T] = static_cast<int64_t>(term_blob.size());
     entry_start[T] = static_cast<int64_t>(e);
-    if (with_positions) pos_start[total_entries] = static_cast<int64_t>(p);
+    if (with_positions) {
+        pos_start[total_entries] = static_cast<int64_t>(p);
+        for (uint64_t s : terms.pos_stream)
+            positions[pos_cursor[s >> 32]++] =
+                static_cast<int32_t>(s & 0xffffffffu);
+    }
 
     std::vector<int32_t> fdocs(self->field_lengths->size());
     std::vector<int32_t> flens(self->field_lengths->size());
@@ -382,21 +477,22 @@ PyObject* FreqProx_add_documents(FreqProxObject* self, PyObject* args) {
         }
         int doc_id = doc_id0 + static_cast<int>(k);
         int32_t pos = 0;
-        tokenize_ascii(data, len, tok, [&](const std::string& t) {
-            uint32_t idx = terms.find_or_insert(t, &self->ram_bytes);
-            if (terms.last_doc[idx] == doc_id) {
-                terms.cur_freq[idx] += 1;
+        tokenize_ascii_fast(data, len, tok, [&](const char* tp, size_t tn,
+                                                uint64_t th) {
+            uint32_t idx =
+                terms.find_or_insert_h(tp, tn, th, &self->ram_bytes);
+            uint64_t e = terms.pending[idx];
+            if ((e >> 32) == static_cast<uint64_t>(doc_id) + 1) {
+                terms.pending[idx] = e + 1;
             } else {
-                if (terms.last_doc[idx] >= 0) terms.flush_entry(idx);
-                terms.last_doc[idx] = doc_id;
-                terms.cur_freq[idx] = 1;
-                if (with_positions) {
-                    TermPostings& tp = terms.posts[idx];
-                    tp.pos_start.push_back(
-                        static_cast<int64_t>(tp.positions.size()));
-                }
+                if (e) terms.flush_entry(idx);
+                terms.pending[idx] =
+                    ((static_cast<uint64_t>(doc_id) + 1) << 32) | 1u;
             }
-            if (with_positions) terms.posts[idx].positions.push_back(pos);
+            if (with_positions)
+                terms.pos_stream.push_back(
+                    (static_cast<uint64_t>(idx) << 32) |
+                    static_cast<uint32_t>(pos));
             self->ram_bytes += 12;
             pos++;
         });
@@ -410,6 +506,51 @@ PyObject* FreqProx_add_documents(FreqProxObject* self, PyObject* args) {
         static_cast<Py_ssize_t>(counts.size() * 4));
 }
 
+// add_keywords(doc_id0: int, values: sequence[str | None]) -> int
+// Bulk keyword-field ingest (StringField: one case-SENSITIVE term per
+// doc, no tokenization, no positions). None/empty slots mean the doc
+// lacks the field. Returns the number of docs that had the field.
+PyObject* FreqProx_add_keywords(FreqProxObject* self, PyObject* args) {
+    int doc_id0;
+    PyObject* seq;
+    if (!PyArg_ParseTuple(args, "iO", &doc_id0, &seq)) return nullptr;
+    PyObject* fast = PySequence_Fast(seq, "values must be a sequence");
+    if (!fast) return nullptr;
+    Py_ssize_t n = PySequence_Fast_GET_SIZE(fast);
+    auto& terms = *self->terms;
+    long with_field = 0;
+    for (Py_ssize_t k = 0; k < n; k++) {
+        PyObject* v = PySequence_Fast_GET_ITEM(fast, k);
+        if (v == Py_None) continue;
+        Py_ssize_t len = 0;
+        const char* data = PyUnicode_AsUTF8AndSize(v, &len);
+        if (!data) {
+            Py_DECREF(fast);
+            return nullptr;
+        }
+        if (len == 0) continue;
+        int doc_id = doc_id0 + static_cast<int>(k);
+        uint32_t idx = terms.find_or_insert_h(
+            data, static_cast<size_t>(len),
+            hash_token_bytes(data, static_cast<size_t>(len)),
+            &self->ram_bytes);
+        uint64_t e = terms.pending[idx];
+        if ((e >> 32) == static_cast<uint64_t>(doc_id) + 1) {
+            terms.pending[idx] = e + 1;
+        } else {
+            if (e) terms.flush_entry(idx);
+            terms.pending[idx] =
+                ((static_cast<uint64_t>(doc_id) + 1) << 32) | 1u;
+        }
+        self->ram_bytes += 12;
+        self->sum_total_tf += 1;
+        with_field++;
+        self->field_lengths->emplace_back(doc_id, 1);
+    }
+    Py_DECREF(fast);
+    return PyLong_FromLong(with_field);
+}
+
 PyObject* FreqProx_ram_bytes(FreqProxObject* self, PyObject*) {
     return PyLong_FromLongLong(self->ram_bytes);
 }
@@ -421,6 +562,8 @@ PyObject* FreqProx_num_terms(FreqProxObject* self, PyObject*) {
 PyMethodDef FreqProx_methods[] = {
     {"add_document", reinterpret_cast<PyCFunction>(FreqProx_add_document),
      METH_VARARGS, "tokenize + accumulate one document's field text"},
+    {"add_keywords", reinterpret_cast<PyCFunction>(FreqProx_add_keywords),
+     METH_VARARGS, "bulk keyword-field ingest"},
     {"add_documents", reinterpret_cast<PyCFunction>(FreqProx_add_documents),
      METH_VARARGS, "batch tokenize + accumulate many documents' field text"},
     {"finish", reinterpret_cast<PyCFunction>(FreqProx_finish), METH_VARARGS,
