@@ -348,14 +348,21 @@ def _run(args, holder):
     log(f"device load: {time.time() - t0:.2f}s")
 
     # ---- slim parity gate (3 queries; the full 14-query sweep runs
-    # post-JSON — in round 2 cold compiles blew it up to 710 s) ----
+    # post-JSON — in round 2 cold compiles blew it up to 710 s). ONE
+    # batched dispatch, not 3 solo searches: each solo dispatch is a
+    # distinct program, and a degraded tunnel amplifies per-dispatch
+    # cost to minutes (measured 280-350 s for the 3-solo form twice on
+    # 2026-08-19, vs 35 s healthy). ----
     if not args.skip_parity:
         t0 = time.time()
         holder["stage"] = "parity gate"
-        for name in ("or20", "and2:oil+price", "phrase:oil price"):
-            assert_parity(
-                searcher, oracle, REUTERS_QUERIES[name], name=name
-            )
+        gate_qs = [REUTERS_QUERIES[n] for n in ("or20", "and2:oil+price")]
+        gate_res = searcher.search_batch(gate_qs, 10)
+        batch_parity(searcher, oracle, gate_qs, gate_res,
+                     list(range(len(gate_qs))), tag="gate")
+        # phrase queries take their own executor (no batch form)
+        assert_parity(searcher, oracle, REUTERS_QUERIES["phrase:oil price"],
+                      name="phrase:oil price")
         log(f"parity gate: 3 queries bit-exact ({time.time() - t0:.1f}s)")
 
     # ---- headline: OR-20 batched device throughput ----
@@ -564,7 +571,9 @@ def component_benches(result, reserve=300):
           "--docs", "50000"],
          (("sparse_qps", "value"), ("sparse_recall10", "recall10"))),
     ):
-        cap = min(150, remaining() - reserve)
+        # 180 s: both benches run in 34-100 s healthy, but a degraded
+        # tunnel multiplies subprocess device time ~3x (2026-08-19 runs)
+        cap = min(180, remaining() - reserve)
         if cap < 45:
             log(f"skipping component bench {name} "
                 f"(remaining {remaining():.0f}s, reserve {reserve}s)")
