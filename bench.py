@@ -491,21 +491,27 @@ def _run(args, holder):
             log(f"scale tier {tag} FAILED: {exc!r:.300}")
             scale_records[f"or20_{tag}_error"] = str(exc)[:120]
 
-    run_tier(1_000_000, 150)
-    result.update(scale_records)
-    holder["result"] = dict(result)
-
-    # component benches BEFORE the 10M tier: the 10M tier is the budget
-    # hog, and a round must never end with zero columnar/sparse evidence
-    # (round 3 did exactly that)
-    holder["stage"] = "component benches"
-    if not args.quick:
-        component_benches(result, reserve=300)
-        holder["result"] = dict(result)
-
+    # Stage priority = evidence priority: the 10M tier FIRST (the
+    # north-star scale story — "the biggest corpus must be the most
+    # boring part of the bench"), then the cheap 1M tier, components
+    # last with per-bench caps. Round 3 ran 10M last and it timed out;
+    # 2026-08-19 runs lost mixed_10m to tunnel-degradation windows that
+    # hit whatever stage ran late. Components keep their own caps +
+    # skip guards, so a degraded 10M tier cannot zero them out the way
+    # round 3's ordering did.
     holder["stage"] = "10m tier"
     run_tier(10_000_000, 200)
     result.update(scale_records)
+    holder["result"] = dict(result)
+
+    run_tier(1_000_000, 100)
+    result.update(scale_records)
+    holder["result"] = dict(result)
+
+    holder["stage"] = "component benches"
+    if not args.quick:
+        component_benches(result, reserve=0)
+        holder["result"] = dict(result)
 
     # ======== THE one JSON line (everything below is best-effort) ========
     holder["result"] = dict(result)
@@ -594,6 +600,18 @@ def component_benches(result, reserve=300):
             else:
                 result[f"{name}_error"] = f"rc={out.returncode}"
                 log(f"component bench {name} FAILED rc={out.returncode}")
+        except subprocess.TimeoutExpired as exc:
+            # surface the child's progress log so a timeout says WHERE
+            # it was stuck (both components time out in-bench while
+            # running fine standalone — diagnosis needs the tail)
+            def _s(b):
+                return b.decode(errors="replace") if isinstance(
+                    b, bytes) else (b or "")
+            tail = _s(exc.stderr)[-1500:]
+            sys.stderr.write(tail)
+            result[f"{name}_error"] = f"timeout {cap:.0f}s"
+            log(f"component bench {name} TIMEOUT after {cap:.0f}s; "
+                f"child stderr tail above")
         except Exception as exc:  # pragma: no cover
             result[f"{name}_error"] = str(exc)[:120]
             log(f"component bench {name} FAILED: {exc!r:.200}")

@@ -84,12 +84,33 @@ class MemoryIndex:
     """Mutable per-segment buffer; becomes immutable SegmentData on flush."""
 
     def __init__(self):
+        from diagon_tpu.index.field_infos import FieldInfosBuilder
+
         self.num_docs = 0
         self.fields: Dict[str, _FieldBuffer] = {}
         self.doc_values: Dict[str, _DocValuesBuffer] = {}
         self.points: Dict[str, _PointsBuffer] = {}
         self.stored: List[Dict[str, object]] = []
         self._ram_bytes = 0
+        # write-time schema drift detection (reference FieldInfosBuilder);
+        # sightings dedup by (name, FieldType identity, point value class)
+        # so the per-doc cost is one set probe per field
+        self._field_infos = FieldInfosBuilder()
+        self._fi_seen: set = set()
+
+    def _sight_field(self, f) -> None:
+        key = (
+            f.name,
+            id(f.type),
+            type(f.value) if f.type.point_dims else None,
+        )
+        if key not in self._fi_seen:
+            self._field_infos.add_field(f)  # raises FieldSchemaError
+            self._fi_seen.add(key)
+
+    def field_infos(self):
+        """FieldInfos snapshot of everything buffered so far."""
+        return self._field_infos.finish()
 
     # ------------------------------------------------------------------
     def add_document(self, doc: Document) -> int:
@@ -99,6 +120,7 @@ class MemoryIndex:
 
         for f in doc.fields:
             ft = f.type
+            self._sight_field(f)
             if ft.stored:
                 stored_row[f.name] = f.value
             if ft.index_options != IndexOptions.NONE:
@@ -166,6 +188,7 @@ class MemoryIndex:
                 doc_id = doc_id0 + j
                 for f in d.fields:
                     ft = f.type
+                    self._sight_field(f)
                     if ft.stored:
                         stored_row[f.name] = f.value
                     if ft.index_options != IndexOptions.NONE:

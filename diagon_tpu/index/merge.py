@@ -48,24 +48,146 @@ class MergePolicy:
         raise NotImplementedError
 
 
-class TieredMergePolicy(MergePolicy):
-    """Size-tiered merging (simplified from TieredMergePolicy.h:33-112):
-    sort by live-doc count; when a tier (within ``segs_per_tier``x size of
-    each other) accumulates >= ``segs_per_tier`` segments, merge the
-    smallest ``max_merge_at_once`` of them."""
+def segment_size_bytes(seg: SegmentData) -> int:
+    """Approximate in-memory segment size (postings + norms + DV + points
+    + stored refs) — the SegmentSize.sizeInBytes role
+    (TieredMergePolicy.h:70-87) without a serialization pass."""
+    total = 0
+    for fd in seg.fields.values():
+        pp = fd.postings
+        for arr in (pp.packed, pp.block_start, pp.block_term,
+                    pp.block_max_freq, pp.doc_freq):
+            if arr is not None:
+                total += arr.nbytes
+        if pp.pos_start is not None:
+            total += pp.pos_start.nbytes
+        if pp.positions is not None:
+            total += pp.positions.nbytes
+        if fd.norms is not None:
+            total += fd.norms.nbytes
+    for dv in seg.doc_values.values():
+        total += getattr(dv.docs, "nbytes", 0)
+        vals = dv.values
+        total += vals.nbytes if hasattr(vals, "nbytes") else 16 * len(vals)
+    for pb in seg.points.values():
+        total += pb.docs.nbytes + pb.values.nbytes
+    total += 64 * len(seg.stored)  # row refs; payloads lazy
+    return total
 
-    def __init__(self, segs_per_tier: int = 10, max_merge_at_once: int = 10):
+
+class TieredMergePolicy(MergePolicy):
+    """Tiered merging, full reference behavior (TieredMergePolicy.h:33-112
+    is interface-only; semantics follow its documented Lucene model):
+
+    - segment sizes are DELETE-ADJUSTED (bytes * live/maxDoc) and floored
+      to ``floor_segment_mb`` for tier math, so many tiny segments count
+      as one floor-sized tier member instead of an infinite tail;
+    - the index's ALLOWED segment count derives from total size: each
+      tier holds ``segs_per_tier`` segments of ~``max_merge_at_once``x
+      the size of the tier below; only when the index exceeds its
+      allowance is a merge selected;
+    - candidate merges are scored by SKEW (largest member / total) times
+      a mild size preference, so the policy prefers balanced merges of
+      small segments — the write-amplification/search-cost balance the
+      reference documents;
+    - no merge may produce a segment over ``max_merged_segment_mb``
+      (candidates stop accumulating at the cap; oversized segments are
+      never merge inputs unless mostly deleted).
+    """
+
+    def __init__(self, segs_per_tier: int = 10, max_merge_at_once: int = 10,
+                 floor_segment_mb: float = 2.0,
+                 max_merged_segment_mb: float = 5 * 1024.0):
         self.segs_per_tier = segs_per_tier
         self.max_merge_at_once = max_merge_at_once
+        self.floor_segment_mb = floor_segment_mb
+        self.max_merged_segment_mb = max_merged_segment_mb
+        # forced-deletes threshold (reference findForcedDeletesMerges)
+        self.deletes_pct_allowed = 10.0
+
+    # -- size helpers (SegmentSize, TieredMergePolicy.h:70-87) --
+    def _adjusted(self, seg: SegmentData) -> float:
+        size = segment_size_bytes(seg)
+        if seg.num_docs == 0:
+            return 0.0
+        return size * (seg.num_live_docs / seg.num_docs)
+
+    def _floored(self, nbytes: float) -> float:
+        return max(nbytes, self.floor_segment_mb * 1024 * 1024)
+
+    def _allowed_count(self, sizes: List[float]) -> int:
+        """Allowed segment count for the index's total size
+        (calculateAllowedSegmentCount): segs_per_tier at each size level,
+        levels scaling by max_merge_at_once from the floor size up."""
+        total = sum(self._floored(s) for s in sizes)
+        level = self.floor_segment_mb * 1024 * 1024
+        allowed = 0.0
+        while True:
+            count_at_level = total / level
+            if count_at_level < self.segs_per_tier:
+                allowed += count_at_level
+                break
+            allowed += self.segs_per_tier
+            total -= self.segs_per_tier * level
+            level *= self.max_merge_at_once
+        return max(self.segs_per_tier, int(np.ceil(allowed)))
 
     def find_merges(self, segments: Sequence[SegmentData]) -> MergeSpecification:
         spec = MergeSpecification()
-        if len(segments) <= self.segs_per_tier:
+        if len(segments) < 2:
             return spec
-        by_size = sorted(segments, key=lambda s: s.num_live_docs)
-        n = min(self.max_merge_at_once, len(by_size) - self.segs_per_tier + 1)
-        if n >= 2:
-            spec.merges.append(OneMerge(by_size[:n]))
+        sized = [(self._adjusted(s), s) for s in segments]
+        if len(sized) <= self._allowed_count([sz for sz, _ in sized]):
+            return spec
+        max_bytes = self.max_merged_segment_mb * 1024 * 1024
+        # largest-first, like getSortedSegments; oversized segments (would
+        # exceed the cap even alone + smallest partner) are not eligible
+        sized.sort(key=lambda t: -t[0])
+        eligible = [t for t in sized if t[0] <= max_bytes / 2]
+        if len(eligible) < 2:
+            return spec
+        best = None  # (score, [segments])
+        for start in range(len(eligible) - 1):
+            acc = 0.0
+            members: List[SegmentData] = []
+            floored_sum = 0.0
+            largest = self._floored(eligible[start][0])
+            for sz, seg in eligible[start:]:
+                if len(members) >= self.max_merge_at_once:
+                    break
+                if acc + sz > max_bytes and len(members) >= 2:
+                    break
+                acc += sz
+                floored_sum += self._floored(sz)
+                members.append(seg)
+            if len(members) < 2:
+                continue
+            # skew in [1/n, 1]: lower = more balanced = better; the
+            # size term prefers reclaiming small-segment tiers first
+            skew = largest / floored_sum
+            score = skew * (acc ** 0.05)
+            if best is None or score < best[0]:
+                best = (score, members)
+        if best is not None:
+            spec.merges.append(OneMerge(best[1]))
+        return spec
+
+    def find_forced_deletes_merges(
+        self, segments: Sequence[SegmentData]
+    ) -> MergeSpecification:
+        """Merge (rewrite) segments whose delete percentage exceeds
+        deletes_pct_allowed (reference findForcedDeletesMerges)."""
+        spec = MergeSpecification()
+        victims = [
+            s for s in segments
+            if s.num_docs > 0
+            and 100.0 * (s.num_docs - s.num_live_docs) / s.num_docs
+            > self.deletes_pct_allowed
+        ]
+        for i in range(0, len(victims), self.max_merge_at_once):
+            group = victims[i : i + self.max_merge_at_once]
+            if group:
+                spec.merges.append(OneMerge(group))
         return spec
 
     def find_forced_merges(
@@ -104,6 +226,17 @@ class SegmentMerger:
         ``doc_maps`` (old docid -> new docid, -1 = dropped), mirroring the
         reference's merged-deletes commit step.
         """
+        # ----- cross-segment schema check (reference FieldInfos.merge;
+        # structural derivation covers disk-loaded segments too) -----
+        from diagon_tpu.index.field_infos import (
+            FieldInfos,
+            infos_from_segment,
+        )
+
+        merged_infos = FieldInfos.merge(
+            *[infos_from_segment(s) for s in segments]
+        )  # raises FieldSchemaError on type drift
+
         # ----- docid remap (compact over deletions) -----
         doc_maps: List[np.ndarray] = []  # old docid -> new docid (-1 deleted)
         new_num_docs = 0
@@ -119,6 +252,7 @@ class SegmentMerger:
             doc_maps.append(m)
 
         out = SegmentData(name=name, num_docs=new_num_docs)
+        out.field_infos = merged_infos
 
         # ----- inverted fields -----
         field_names: Dict[str, bool] = {}

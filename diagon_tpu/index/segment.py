@@ -68,6 +68,9 @@ class SegmentData:
     stored: List[Dict[str, object]] = dc_field(default_factory=list)
     # live-docs bitmap; None means all live (reference .liv)
     live_docs: Optional[np.ndarray] = None  # bool [num_docs]
+    # per-field schema (reference FieldInfos); None for disk-loaded
+    # segments (derive with field_infos.infos_from_segment)
+    field_infos: Optional[object] = None
 
     @property
     def num_live_docs(self) -> int:
@@ -96,6 +99,7 @@ def flush_memory_index(mem: MemoryIndex, name: str) -> Optional[SegmentData]:
         return None
 
     seg = SegmentData(name=name, num_docs=mem.num_docs)
+    seg.field_infos = mem.field_infos()
 
     for fname, fb in mem.fields.items():
         norms = mem.compute_norms(fname)
