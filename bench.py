@@ -343,29 +343,21 @@ def _run(args, holder):
 
     t0 = time.time()
     holder["stage"] = "device load"
-    searcher = IndexSearcher([seg])
+    # query_cache=False: measured qps must re-score every iteration,
+    # like the reference's benchmark loop (ReutersWANDBenchmark.cpp:195)
+    searcher = IndexSearcher([seg], query_cache=False)
     oracle = OracleSearcher([seg])
     log(f"device load: {time.time() - t0:.2f}s")
 
-    # ---- slim parity gate (3 queries; the full 14-query sweep runs
-    # post-JSON — in round 2 cold compiles blew it up to 710 s). ONE
-    # batched dispatch, not 3 solo searches: each solo dispatch is a
-    # distinct program, and a degraded tunnel amplifies per-dispatch
-    # cost to minutes (measured 280-350 s for the 3-solo form twice on
-    # 2026-08-19, vs 35 s healthy). ----
-    if not args.skip_parity:
-        t0 = time.time()
-        holder["stage"] = "parity gate"
-        gate_qs = [REUTERS_QUERIES[n] for n in ("or20", "and2:oil+price")]
-        gate_res = searcher.search_batch(gate_qs, 10)
-        batch_parity(searcher, oracle, gate_qs, gate_res,
-                     list(range(len(gate_qs))), tag="gate")
-        # phrase queries take their own executor (no batch form)
-        assert_parity(searcher, oracle, REUTERS_QUERIES["phrase:oil price"],
-                      name="phrase:oil price")
-        log(f"parity gate: 3 queries bit-exact ({time.time() - t0:.1f}s)")
-
     # ---- headline: OR-20 batched device throughput ----
+    # The parity gate rides on the headline stages' OWN collected
+    # results (batch_parity below): a separate pre-stage gate compiled
+    # 2 extra programs (Q=2 batch + phrase) that the headline never
+    # uses, and a degraded tunnel amplified those solo dispatches to
+    # 195-451 s (measured 2026-08-19, vs 35 s healthy) — more than half
+    # the budget before a single measurement. Phrase + the full 14-query
+    # sweep still run post-JSON in extras; a parity failure still kills
+    # the worker BEFORE the JSON prints, so the numbers stay gated.
     # DEVICE throughput: the TPU here sits behind a tunnel adding ~25-40ms
     # per device->host transfer (absent on locally-attached hardware), so
     # batches chain on device with one scalar probe; the fully end-to-end
@@ -374,12 +366,17 @@ def _run(args, holder):
     Q = min(args.batch, 64) if args.quick else args.batch
     nb, tr = (4, 2) if args.quick else (64, 6)
     holder["stage"] = "or20 headline"
-    qps, ts, _ = device_throughput(
-        searcher, [or20] * Q, n_batches=nb, trials=tr
+    or20_batch = [or20] * Q
+    qps, ts, or20_res = device_throughput(
+        searcher, or20_batch, n_batches=nb, trials=tr
     )
+    if not args.skip_parity:
+        batch_parity(searcher, oracle, or20_batch, or20_res, [0],
+                     tag="or20", seg=seg)
     log(
         f"or20 device throughput: Q={Q} qps={qps:,.0f} "
-        f"(trials ms/batch: {[round(t * 1e3, 2) for t in ts]})"
+        f"(query 0 bit-exact; trials ms/batch: "
+        f"{[round(t * 1e3, 2) for t in ts]})"
     )
 
     holder["result"] = {
@@ -399,7 +396,9 @@ def _run(args, holder):
         searcher, mixed, n_batches=nb // 2 or 1, trials=tr
     )
     sample = list(range(0, Q, max(1, Q // 24)))
-    batch_parity(searcher, oracle, mixed, mres, sample, tag="mixed")
+    if not args.skip_parity:
+        batch_parity(searcher, oracle, mixed, mres, sample, tag="mixed",
+                     seg=seg)
     log(
         f"mixed-1024 device throughput: qps={mixed_qps:,.0f} "
         f"({len(sample)} sampled queries bit-exact; trials ms/batch: "

@@ -84,7 +84,9 @@ def main():
     from diagon_tpu.search.searcher import IndexSearcher
 
     t0 = time.time()
-    s = IndexSearcher([seg])
+    # query_cache=False: measured qps re-scores every dispatch (the
+    # reference's bench loop re-runs full WAND scoring per iteration)
+    s = IndexSearcher([seg], query_cache=False)
     oracle = OracleSearcher([seg])
     or20 = REUTERS_QUERIES["or20"]
     Q = args.batch

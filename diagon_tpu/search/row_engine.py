@@ -29,7 +29,7 @@ answer to the reference's postings traversal is to not traverse at all.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -720,6 +720,7 @@ def row_score_topk_pruned_batch(
     a_cb_t=None,
     staged: bool = True,
     out_q: int = None,
+    p1_cache: dict = None,
 ):
     """MXU-selected pruned scoring for query BATCHES (the WANDScorer /
     MaxScoreBulkScorer role, WANDScorer.h:17-285, MaxScoreBulkScorer.h).
@@ -751,6 +752,10 @@ def row_score_topk_pruned_batch(
     Q = cidx.shape[0]
     if out_q is None:
         out_q = Q
+    # p1 replay (the LRUQueryCache role) rides the STAGED pipeline only:
+    # below the huge-segment threshold the fused single program wins on
+    # dispatch count and phase 1 is cheap, so small segments keep the
+    # fused path and simply don't populate the cache
     if not staged:
         return _pruned_batch_fused(
             compact_t, compact_bf16, cidx, cflags, live,
@@ -758,11 +763,16 @@ def row_score_topk_pruned_batch(
             a_cb_t, k=k, Bk=Bk, out_q=out_q, boolean=boolean,
             interpret=interpret,
         )
-    tsel, u_next, min_unsel, hits = _pruned_batch_phase1(
-        compact_bf16, a_sc_t, a_rq_t, a_sh_t, a_ng_t,
-        params_t, live, Bk=Bk, boolean=boolean, interpret=interpret,
-        a_cb_t=a_cb_t,
-    )
+    p1 = p1_cache.get(Bk) if p1_cache is not None else None
+    if p1 is None:
+        p1 = _pruned_batch_phase1(
+            compact_bf16, a_sc_t, a_rq_t, a_sh_t, a_ng_t,
+            params_t, live, Bk=Bk, boolean=boolean, interpret=interpret,
+            a_cb_t=a_cb_t,
+        )
+        if p1_cache is not None:
+            p1_cache[Bk] = p1
+    tsel, u_next, min_unsel, hits = p1
     fused = _pruned_batch_phase2(
         compact_t, cidx, cflags, live, tsel, u_next, min_unsel, hits,
         bool_params, k=k, boolean=boolean, interpret=interpret,
@@ -1457,6 +1467,16 @@ class CompactBatch:
     a_cb_t: object
     params_t: object  # f32 [8, Q]
     nbytes: int
+    # phase-1 replay cache {Bk: (tsel, u_next, min_unsel, hits)} — the
+    # LRUQueryCache role (Lucene caches per-(query, segment) scoring
+    # state across searches; on by default there too): tile selection,
+    # certificates and hit counts are a pure function of (batch plans,
+    # bank, live, Bk), all immutable for this object's lifetime, so a
+    # RE-ISSUED identical batch replays them and runs only the exact
+    # phase-2 rescore. Serving feature only: benches measure with
+    # query_cache=False so qps stays comparable to the reference's
+    # full-rescore-per-iteration numbers.
+    p1_cache: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -2031,6 +2051,11 @@ class RowExecutor:
 
     # pallas is the default pure-OR path; set False to force the XLA scan
     use_pallas: bool = True
+    # LRUQueryCache role: replay phase-1 scoring state when an identical
+    # batch is re-issued (staged/huge-segment path only). Default on,
+    # like the reference's searcher-level query cache; benches turn it
+    # off so measured qps re-scores every iteration
+    query_cache: bool = True
     # transient: a deduped homogeneous burst routes through the batch
     # compact path even at sub-batch sizes (set around dispatch recursion)
     _force_batch: bool = False
@@ -2136,6 +2161,7 @@ class RowExecutor:
                 # program saves two host dispatches per batch
                 staged=idx.num_docs_pad >= self.batch_only_min_docs,
                 out_q=out_q,
+                p1_cache=compact.p1_cache if self.query_cache else None,
             )
         # small pure-OR batches: per-clause tile-UB bounds (one [G] row
         # per clause beats a whole-bank matmul below approx_min_q)

@@ -113,6 +113,7 @@ class _FieldContext:
 
         ridx.build_heavy_bank(idf_of_tid)
         ex = RowExecutor(ridx)
+        ex.query_cache = getattr(searcher, "enable_query_cache", True)
         ex.idf_of_tid = idf_of_tid
         self.row_executors[si] = ex
 
@@ -123,7 +124,13 @@ class IndexSearcher:
         segments: Union[Sequence[Union[SegmentData, DeviceSegment]], "object"],
         device=None,
         hbm_budget_bytes: Optional[int] = None,
+        query_cache: bool = True,
     ):
+        # LRUQueryCache role (reference: searcher-level query cache, on
+        # by default): re-issued identical query batches replay cached
+        # per-(batch, segment) phase-1 scoring state. Benches pass False
+        # so measured throughput re-scores every iteration.
+        self.enable_query_cache = query_cache
         # Accept a DirectoryReader (duck-typed to avoid an import cycle).
         if hasattr(segments, "segments_data"):
             segments = segments.segments_data()

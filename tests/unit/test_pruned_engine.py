@@ -472,3 +472,44 @@ def test_chunked_resident_rescore_matches_single(boolean, monkeypatch):
         whole, chunked = (whole,), (chunked,)
     for x, y in zip(whole, chunked):
         assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_query_cache_p1_replay_bit_exact():
+    """LRUQueryCache role: re-issuing an identical batch on the staged
+    (huge-segment) path replays cached phase-1 state and must stay
+    bit-exact vs both the oracle and a cache-disabled searcher."""
+    seg = _corpus(n_docs=700, seed=5)
+    cached = IndexSearcher([seg], query_cache=True)
+    uncached = IndexSearcher([seg], query_cache=False)
+    oracle = OracleSearcher([seg])
+    queries = [_or_query(t) for t in QUERIES]
+    for s in (cached, uncached):
+        ctx = _force_pruned(s, "body", 64, approx_min_q=1)
+        for ex in ctx.row_executors:
+            if ex is not None:
+                ex.batch_only_min_docs = 0  # force the staged pipeline
+    first = cached.search_batch(queries, 10)
+    # the cache held per-(batch, segment) phase-1 state after dispatch 1
+    ctx = cached._ctx("body")
+    ex = next(e for e in ctx.row_executors if e is not None)
+    assert any(
+        entry[1][-1] is not None and entry[1][-1].p1_cache
+        for entry in ex._batch_cache.values()
+    ), "p1 cache never populated on the staged path"
+    replay = cached.search_batch(queries, 10)  # p1 replayed
+    base = uncached.search_batch(queries, 10)
+    for qi, q in enumerate(queries):
+        want = oracle.search(q, 10)
+        for got in (first[qi], replay[qi], base[qi]):
+            assert got.doc_ids() == want.doc_ids(), QUERIES[qi]
+            assert got.total_hits == want.total_hits
+            for o, d in zip(want.score_docs, got.score_docs):
+                assert o.score == d.score
+    # the uncached searcher must not have populated any p1 cache
+    uctx = uncached._ctx("body")
+    for uex in uctx.row_executors:
+        if uex is None:
+            continue
+        for entry in uex._batch_cache.values():
+            compact = entry[1][-1]
+            assert compact is None or not compact.p1_cache
