@@ -3,8 +3,10 @@ None, LZ4, ZSTD, Delta, DoubleDelta, Gorilla, T64, chainable "Multiple").
 
 Host-side/on-disk only — device-resident columns are raw or bit-packed
 arrays. Each codec frames its output with a method byte, like the
-reference's ``ICompressionCodec``. LZ4/ZSTD are not in the Python stdlib,
-so the general-purpose entropy stage is zlib (same role); Delta /
+reference's ``ICompressionCodec``. LZ4 is a native block-format
+implementation (``native/_native.cpp``; liblz4 is absent from this image,
+so the format is implemented from its public spec). ZSTD is not available
+without its library, so zlib fills the stronger-entropy role; Delta /
 DoubleDelta / Gorilla(xor) / T64 (bit-packed transpose-free variant) are
 faithful re-implementations of the transform stages.
 """
@@ -25,6 +27,7 @@ METHOD_DELTA = 0x02
 METHOD_DOUBLE_DELTA = 0x03
 METHOD_GORILLA = 0x04
 METHOD_T64 = 0x05
+METHOD_LZ4 = 0x06
 
 
 class Codec:
@@ -128,6 +131,83 @@ class GorillaCodec(Codec):
         return out.tobytes()
 
 
+class Lz4Codec(Codec):
+    """LZ4 block format (reference ``CompressionCodecs.h`` LZ4Codec, which
+    wraps liblz4; here the block format is implemented in the native host
+    tier, ``native/_native.cpp``). Framed with the decoded size (the block
+    format itself does not carry it). Without the native extension,
+    compress emits a literals-only block (valid LZ4, no ratio) and
+    decompress parses the format in Python."""
+
+    method = METHOD_LZ4
+
+    def compress(self, data: bytes) -> bytes:
+        from diagon_tpu.native import _native
+
+        size = struct.pack("<I", len(data))
+        if _native is not None:
+            return size + _native.lz4_compress(data)
+        # literals-only block: one final sequence, no matches
+        n = len(data)
+        if n == 0:
+            return size
+        head = bytearray()
+        lit = min(n, 15)
+        head.append(lit << 4)
+        if lit == 15:
+            rest = n - 15
+            while rest >= 255:
+                head.append(255)
+                rest -= 255
+            head.append(rest)
+        return size + bytes(head) + data
+
+    def decompress(self, data: bytes) -> bytes:
+        (out_size,) = struct.unpack_from("<I", data)
+        block = data[4:]
+        if out_size == 0:
+            return b""
+        from diagon_tpu.native import _native
+
+        if _native is not None:
+            return _native.lz4_decompress(block, out_size)
+        out = bytearray()
+        ip, n = 0, len(block)
+        while ip < n:
+            token = block[ip]
+            ip += 1
+            lit = token >> 4
+            if lit == 15:
+                while True:
+                    b = block[ip]
+                    ip += 1
+                    lit += b
+                    if b != 255:
+                        break
+            out += block[ip : ip + lit]
+            ip += lit
+            if ip >= n:
+                break
+            offset = block[ip] | (block[ip + 1] << 8)
+            ip += 2
+            mlen = (token & 0x0F) + 4
+            if token & 0x0F == 15:
+                while True:
+                    b = block[ip]
+                    ip += 1
+                    mlen += b
+                    if b != 255:
+                        break
+            start = len(out) - offset
+            for i in range(mlen):  # overlap-safe
+                out.append(out[start + i])
+        if len(out) != out_size:
+            raise ValueError(
+                f"lz4: corrupt block ({len(out)} of {out_size} bytes)"
+            )
+        return bytes(out)
+
+
 class T64Codec(Codec):
     """Bit-width reduction for int64 (the role of ClickHouse T64): subtract
     min, pack at the needed width."""
@@ -163,6 +243,7 @@ class T64Codec(Codec):
 CODECS: Dict[str, Codec] = {
     "none": NoneCodec(),
     "zlib": ZlibCodec(),
+    "lz4": Lz4Codec(),
     "delta": DeltaCodec(),
     "doubledelta": DoubleDeltaCodec(),
     "gorilla": GorillaCodec(),

@@ -1111,7 +1111,153 @@ PyObject* invert_tokens(PyObject*, PyObject* args) {
         mk(pos_sc.data(), pos_sc.size() * 4));
 }
 
+// ---- LZ4 block format (reference compression/CompressionCodecs.h
+// LZ4Codec role, which wraps liblz4 behind HAVE_LZ4). liblz4 is not in
+// this image, so the block format is implemented here from its public
+// spec: sequences of [token][lit-ext*][literals][offset LE16][match-ext*],
+// token = (lit_len<<4)|(match_len-4) with 15 -> 255-run extension bytes,
+// matches are >= 4 bytes at offsets <= 65535, the final sequence is
+// literals-only, the last 5 bytes are always literals, and the last
+// match starts >= 12 bytes before the end. ----
+
+constexpr size_t LZ4_MINMATCH = 4;
+
+inline uint32_t lz4_load32(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;
+}
+
+inline uint32_t lz4_hash(uint32_t seq) {
+    return (seq * 2654435761u) >> 16;  // 16-bit bucket
+}
+
+void lz4_emit_len(std::vector<uint8_t>& out, size_t rest) {
+    for (; rest >= 255; rest -= 255) out.push_back(255);
+    out.push_back(static_cast<uint8_t>(rest));
+}
+
+// lz4_compress(data: bytes) -> bytes (raw LZ4 block)
+PyObject* lz4_compress_fn(PyObject*, PyObject* arg) {
+    Py_buffer buf;
+    if (PyObject_GetBuffer(arg, &buf, PyBUF_SIMPLE) < 0) return nullptr;
+    const uint8_t* src = static_cast<const uint8_t*>(buf.buf);
+    const size_t n = static_cast<size_t>(buf.len);
+    std::vector<uint8_t> out;
+    out.reserve(n + n / 128 + 16);
+    std::vector<uint32_t> table(1u << 16, 0);  // position + 1; 0 = empty
+
+    auto emit_seq = [&](size_t anchor, size_t ip, size_t mlen,
+                        size_t offset) {
+        const size_t lit = ip - anchor;
+        const size_t mrest = mlen - LZ4_MINMATCH;
+        out.push_back(static_cast<uint8_t>(
+            (std::min<size_t>(lit, 15) << 4) | std::min<size_t>(mrest, 15)));
+        if (lit >= 15) lz4_emit_len(out, lit - 15);
+        out.insert(out.end(), src + anchor, src + anchor + lit);
+        out.push_back(static_cast<uint8_t>(offset & 0xFF));
+        out.push_back(static_cast<uint8_t>(offset >> 8));
+        if (mrest >= 15) lz4_emit_len(out, mrest - 15);
+    };
+
+    size_t anchor = 0;
+    if (n > 12) {
+        const size_t mflimit = n - 12;   // last match starts before this
+        const size_t matchlimit = n - 5; // last 5 bytes stay literal
+        size_t ip = 0;
+        while (ip < mflimit) {
+            const uint32_t seq = lz4_load32(src + ip);
+            const uint32_t h = lz4_hash(seq);
+            const uint32_t cand = table[h];
+            table[h] = static_cast<uint32_t>(ip + 1);
+            if (cand != 0 && ip + 1 - cand <= 65535 &&
+                lz4_load32(src + (cand - 1)) == seq) {
+                size_t mpos = cand - 1;
+                size_t mlen = LZ4_MINMATCH;
+                while (ip + mlen < matchlimit &&
+                       src[mpos + mlen] == src[ip + mlen])
+                    mlen++;
+                // fold preceding literals into the match where they agree
+                while (ip > anchor && mpos > 0 &&
+                       src[ip - 1] == src[mpos - 1]) {
+                    ip--; mpos--; mlen++;
+                }
+                emit_seq(anchor, ip, mlen, ip - mpos);
+                ip += mlen;
+                anchor = ip;
+            } else {
+                ip++;
+            }
+        }
+    }
+    // final literals-only sequence (no offset follows, per the spec)
+    const size_t lit = n - anchor;
+    out.push_back(static_cast<uint8_t>(std::min<size_t>(lit, 15) << 4));
+    if (lit >= 15) lz4_emit_len(out, lit - 15);
+    out.insert(out.end(), src + anchor, src + n);
+    PyBuffer_Release(&buf);
+    return PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(out.data()),
+        static_cast<Py_ssize_t>(out.size()));
+}
+
+// lz4_decompress(block: bytes, out_size: int) -> bytes
+PyObject* lz4_decompress_fn(PyObject*, PyObject* args) {
+    Py_buffer buf;
+    Py_ssize_t out_size;
+    if (!PyArg_ParseTuple(args, "y*n", &buf, &out_size)) return nullptr;
+    const uint8_t* src = static_cast<const uint8_t*>(buf.buf);
+    const size_t n = static_cast<size_t>(buf.len);
+    std::vector<uint8_t> out;
+    out.reserve(static_cast<size_t>(out_size));
+    size_t ip = 0;
+    bool ok = true;
+    auto read_len = [&](size_t base) -> size_t {
+        size_t len = base;
+        if (base == 15) {
+            uint8_t b;
+            do {
+                if (ip >= n) { ok = false; return len; }
+                b = src[ip++];
+                len += b;
+            } while (b == 255);
+        }
+        return len;
+    };
+    while (ip < n && ok) {
+        const uint8_t token = src[ip++];
+        const size_t lit = read_len(token >> 4);
+        if (!ok || ip + lit > n) { ok = false; break; }
+        out.insert(out.end(), src + ip, src + ip + lit);
+        ip += lit;
+        if (ip >= n) break;  // literals-only final sequence
+        if (ip + 2 > n) { ok = false; break; }
+        const size_t offset = src[ip] | (static_cast<size_t>(src[ip + 1]) << 8);
+        ip += 2;
+        if (offset == 0 || offset > out.size()) { ok = false; break; }
+        const size_t mlen = read_len(token & 0x0F) + LZ4_MINMATCH;
+        if (!ok) break;
+        size_t from = out.size() - offset;
+        for (size_t i = 0; i < mlen; i++)  // overlap-safe byte copy
+            out.push_back(out[from + i]);
+    }
+    PyBuffer_Release(&buf);
+    if (!ok || out.size() != static_cast<size_t>(out_size)) {
+        PyErr_Format(PyExc_ValueError,
+                     "lz4_decompress: corrupt block (got %zu of %zd bytes)",
+                     out.size(), out_size);
+        return nullptr;
+    }
+    return PyBytes_FromStringAndSize(
+        reinterpret_cast<const char*>(out.data()),
+        static_cast<Py_ssize_t>(out.size()));
+}
+
 PyMethodDef module_methods[] = {
+    {"lz4_compress", lz4_compress_fn, METH_O,
+     "compress bytes into one raw LZ4 block"},
+    {"lz4_decompress", lz4_decompress_fn, METH_VARARGS,
+     "decompress one raw LZ4 block given the decoded size"},
     {"standard_tokenize_ascii", standard_tokenize_ascii, METH_O,
      "ASCII StandardTokenizer (alnum runs + apostrophes, lowercased)"},
     {"synth_tokens", synth_tokens, METH_VARARGS,

@@ -43,8 +43,9 @@ def test_string_column():
 
 
 @pytest.mark.parametrize("chain", [
-    ["none"], ["zlib"], ["delta"], ["delta", "zlib"],
-    ["doubledelta"], ["t64"], ["delta", "t64", "zlib"],
+    ["none"], ["zlib"], ["lz4"], ["delta"], ["delta", "zlib"],
+    ["delta", "lz4"], ["doubledelta"], ["t64"],
+    ["delta", "t64", "zlib"],
 ])
 def test_codec_chains_int64(chain):
     rng = np.random.Generator(np.random.PCG64(5))
@@ -66,6 +67,51 @@ def test_compression_actually_compresses():
     v = np.arange(8192, dtype=np.int64)  # perfectly delta-compressible
     blob = compress(v.tobytes(), ["delta", "t64", "zlib"])
     assert len(blob) < len(v.tobytes()) / 20
+
+
+def test_lz4_roundtrip_fuzz():
+    """LZ4 block format (native/_native.cpp): round-trip on adversarial
+    shapes — empty, tiny, incompressible, highly repetitive (long
+    matches + overlapping copies), and 255-run length extensions."""
+    from diagon_tpu.columnar.compression import Lz4Codec
+
+    c = Lz4Codec()
+    rng = np.random.Generator(np.random.PCG64(7))
+    cases = [
+        b"",
+        b"a",
+        b"abcd" * 3,                       # 12 bytes: literal-only zone
+        b"x" * 13,                         # shortest matchable input
+        b"ab" * 5000,                      # overlap copy, offset 2
+        bytes(rng.integers(0, 256, 100000, dtype=np.uint8)),  # random
+        bytes(rng.integers(0, 4, 65600, dtype=np.uint8)),     # long runs
+        b"z" * 300,                        # match-len 255-extensions
+        (b"hello world " * 40)[:300] + bytes(100) + b"hello world ",
+    ]
+    for data in cases:
+        blob = c.compress(data)
+        assert c.decompress(blob) == data, f"len={len(data)}"
+    # repetitive data must actually shrink
+    rep = b"the quick brown fox " * 500
+    assert len(c.compress(rep)) < len(rep) / 10
+
+
+def test_lz4_python_fallback_decodes_native_blocks(monkeypatch):
+    """The pure-Python parser must decode native-compressed blocks (and
+    the literals-only fallback blocks must decode natively)."""
+    import diagon_tpu.native as native_pkg
+    from diagon_tpu.columnar.compression import Lz4Codec
+
+    if native_pkg._native is None:
+        pytest.skip("native extension unavailable")
+    c = Lz4Codec()
+    data = b"abcabcabc" * 200 + bytes(range(256)) * 4
+    native_blob = c.compress(data)
+    monkeypatch.setattr(native_pkg, "_native", None)
+    assert c.decompress(native_blob) == data
+    py_blob = c.compress(data)  # literals-only form
+    monkeypatch.undo()
+    assert c.decompress(py_blob) == data
 
 
 def test_minmax_index():
