@@ -616,15 +616,27 @@ def component_benches(result, reserve=300):
         except subprocess.TimeoutExpired as exc:
             # surface the child's progress log so a timeout says WHERE
             # it was stuck (both components time out in-bench while
-            # running fine standalone — diagnosis needs the tail)
+            # running fine standalone — diagnosis needs the tail), and
+            # recover any interim JSON line from the partial stdout
+            # (sparse_bench prints one after its parity gate)
             def _s(b):
                 return b.decode(errors="replace") if isinstance(
                     b, bytes) else (b or "")
             tail = _s(exc.stderr)[-1500:]
             sys.stderr.write(tail)
-            result[f"{name}_error"] = f"timeout {cap:.0f}s"
-            log(f"component bench {name} TIMEOUT after {cap:.0f}s; "
-                f"child stderr tail above")
+            lines = [ln for ln in _s(exc.stdout).strip().splitlines()
+                     if ln.startswith("{")]
+            if lines:
+                comp = json.loads(lines[-1])
+                for flat, src in keys:
+                    if src in comp:
+                        result[flat] = comp[src]
+                log(f"component bench {name} timeout after {cap:.0f}s; "
+                    f"interim recovered: {comp}")
+            else:
+                result[f"{name}_error"] = f"timeout {cap:.0f}s"
+                log(f"component bench {name} TIMEOUT after {cap:.0f}s; "
+                    f"child stderr tail above")
         except Exception as exc:  # pragma: no cover
             result[f"{name}_error"] = str(exc)[:120]
             log(f"component bench {name} FAILED: {exc!r:.200}")

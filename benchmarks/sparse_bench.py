@@ -129,6 +129,12 @@ def main():
     log(f"batch sample: bit-exact vs quantized oracle "
         f"({time.time() - t0:.1f}s)")
 
+    # interim JSON: qps is measured and parity-gated at this point — if
+    # the recall/rerank stage below blows a caller's subprocess cap, the
+    # headline number is already on stdout (bench.py takes the LAST line)
+    print(json.dumps({"metric": "sparse_top10_qps", "value": round(qps, 1),
+                      "unit": "qps"}), flush=True)
+
     # recall vs exact over the FULL corpus (search_exact is the
     # vectorized CSR oracle; a subsampled oracle understates recall
     # because the searcher ranks over all docs). Quantized recall reads
