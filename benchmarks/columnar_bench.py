@@ -10,6 +10,9 @@ dispatches (the tunnel here adds ~25 ms per readback; locally-attached
 hardware wouldn't) and reports the ratio vs the reference's measured
 single-thread P50s at the same row count.
 
+Prints a JSON line after every measured query (interim) and a final
+full line; consumers take the LAST stdout JSON line (bench.py does).
+
 Run: python benchmarks/columnar_bench.py [--rows 1000000]
 """
 
@@ -157,6 +160,21 @@ def main():
             f"granules={got['granules_scanned']}/{got['granules_total']}"
             + (f" vs_ref={entry.get('vs_reference')}x"
                if "vs_reference" in entry else ""))
+        # interim line after every query: a caller's subprocess timeout
+        # mid-run still recovers the queries measured so far (bench.py
+        # takes the LAST stdout JSON line)
+        if "q9_region_range" in results:
+            iratios = [v["vs_reference"] for v in results.values()
+                       if "vs_reference" in v]
+            print(json.dumps({
+                "metric": "columnar_q9_device_us",
+                "value": results["q9_region_range"]["device_us"],
+                "unit": "us",
+                "vs_reference_geomean": round(
+                    float(np.exp(np.mean(np.log(iratios)))), 2
+                ) if iratios else None,
+                "interim_after": name,
+            }), flush=True)
 
     # group-by
     g = dt.range_group_agg("event_ts", "region", 4096, lower=0,
