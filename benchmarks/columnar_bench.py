@@ -83,20 +83,45 @@ def main():
 
     log(f"backend={jax.default_backend()}")
     t0 = time.time()
-    table = build_table(args.rows)
-    log(f"build: {time.time() - t0:.1f}s rows={table.num_rows} "
-        f"granules={table.num_granules}")
+    # table-build cache: the 1M-row build (rng + two sorts + granule
+    # stats) costs tens of seconds on this one-core host and is fully
+    # deterministic — the in-bench 180 s cap was blown twice on a
+    # degraded tunnel largely paying this setup again (RESULTS.md
+    # 2026-08-19); sparse_bench has cached its corpus since r3
+    import pickle
 
-    # compression / store round-trip
-    d = RAMDirectory()
-    t0 = time.time()
-    write_table(d, "hits", table)
-    raw = sum(
-        c.values.nbytes for c in table.columns.values() if hasattr(c, "values")
+    cache = os.path.join(
+        os.path.expanduser("~/.cache/diagon_tpu"),
+        f"columnar_table_{args.rows}_s11.pkl",
     )
-    stored = d.file_length("hits.col")
-    log(f"store: {time.time() - t0:.1f}s raw={raw/1e6:.1f}MB "
-        f"compressed={stored/1e6:.1f}MB ratio={raw/stored:.1f}x")
+    fresh_build = not os.path.exists(cache)
+    if not fresh_build:
+        with open(cache, "rb") as f:
+            table = pickle.load(f)
+        log(f"build: loaded cache {cache} ({time.time() - t0:.1f}s)")
+    else:
+        table = build_table(args.rows)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        with open(cache + ".tmp", "wb") as f:
+            pickle.dump(table, f, protocol=4)
+        os.replace(cache + ".tmp", cache)
+        log(f"build: {time.time() - t0:.1f}s rows={table.num_rows} "
+            f"granules={table.num_granules}")
+
+    # compression / store round-trip: stderr evidence only (doesn't feed
+    # the JSON), so pay the one-core zlib/LZ4 pass only on a fresh build
+    if fresh_build:
+        d = RAMDirectory()
+        t0 = time.time()
+        write_table(d, "hits", table)
+        raw = sum(
+            c.values.nbytes
+            for c in table.columns.values()
+            if hasattr(c, "values")
+        )
+        stored = d.file_length("hits.col")
+        log(f"store: {time.time() - t0:.1f}s raw={raw/1e6:.1f}MB "
+            f"compressed={stored/1e6:.1f}MB ratio={raw/stored:.1f}x")
 
     dt = DeviceTable(table)
 
