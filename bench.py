@@ -39,7 +39,9 @@ import time
 
 import numpy as np
 
-CACHE_DIR = os.path.expanduser("~/.cache/diagon_tpu")
+from diagon_tpu.bench.cache import bench_cache_dir
+
+CACHE_DIR = bench_cache_dir()
 BASELINE_OR20_QPS = 1e6 / 165.0  # reference OR-20 P50 165us -> 6060.6 QPS
 
 T0 = time.time()

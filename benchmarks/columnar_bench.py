@@ -69,9 +69,11 @@ def main():
 
     import jax
 
+    from diagon_tpu.bench.cache import bench_cache_dir
+
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.path.join(os.path.expanduser("~/.cache/diagon_tpu"), "jax_cache"),
+        os.path.join(bench_cache_dir(), "jax_cache"),
     )
     # tiny per-shape ops (concatenate/dynamic_slice, ~0.4 s each) dodge the
     # default 1.0 s persistence threshold and recompile EVERY run — dozens
@@ -90,15 +92,22 @@ def main():
     # 2026-08-19); sparse_bench has cached its corpus since r3
     import pickle
 
+    # v12: the key carries a schema/version token — bumping it on any
+    # build_table or granule/index-format change invalidates stale tables
+    # (ADVICE r4: the old s11 key silently reused tables across format
+    # changes)
+    from diagon_tpu.columnar.table import GRANULE_ROWS as _GR
+
     cache = os.path.join(
-        os.path.expanduser("~/.cache/diagon_tpu"),
-        f"columnar_table_{args.rows}_s11.pkl",
+        bench_cache_dir(),
+        f"columnar_table_{args.rows}_g{_GR}_v12.pkl",
     )
     fresh_build = not os.path.exists(cache)
     if not fresh_build:
         with open(cache, "rb") as f:
             table = pickle.load(f)
-        log(f"build: loaded cache {cache} ({time.time() - t0:.1f}s)")
+        log(f"build: loaded cache {cache} ({time.time() - t0:.1f}s) "
+            f"rows={table.num_rows} granules={table.num_granules}")
     else:
         table = build_table(args.rows)
         os.makedirs(os.path.dirname(cache), exist_ok=True)

@@ -39,9 +39,11 @@ def main():
 
     import jax
 
+    from diagon_tpu.bench.cache import bench_cache_dir
+
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.path.join(os.path.expanduser("~/.cache/diagon_tpu"), "jax_cache"),
+        os.path.join(bench_cache_dir(), "jax_cache"),
     )
     # tiny per-shape ops (concatenate/dynamic_slice, ~0.4 s each) dodge the
     # default 1.0 s persistence threshold and recompile EVERY run — dozens
@@ -57,7 +59,7 @@ def main():
 
     import pickle
 
-    cache_dir = os.path.expanduser("~/.cache/diagon_tpu")
+    cache_dir = bench_cache_dir()
     cache = os.path.join(
         cache_dir, f"sparse_{args.docs}_{args.vocab}_{args.nnz}.pkl"
     )

@@ -29,7 +29,9 @@ import re
 import time
 from typing import Iterator, Optional, Tuple
 
-CACHE_DIR = os.path.expanduser("~/.cache/diagon_tpu")
+from diagon_tpu.bench.cache import bench_cache_dir
+
+CACHE_DIR = bench_cache_dir()
 
 _SGM_DOC = re.compile(rb"<REUTERS\b.*?</REUTERS>", re.S)
 _SGM_FIELD = {

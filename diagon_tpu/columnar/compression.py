@@ -5,14 +5,18 @@ Host-side/on-disk only — device-resident columns are raw or bit-packed
 arrays. Each codec frames its output with a method byte, like the
 reference's ``ICompressionCodec``. LZ4 is a native block-format
 implementation (``native/_native.cpp``; liblz4 is absent from this image,
-so the format is implemented from its public spec). ZSTD is not available
-without its library, so zlib fills the stronger-entropy role; Delta /
-DoubleDelta / Gorilla(xor) / T64 (bit-packed transpose-free variant) are
-faithful re-implementations of the transform stages.
+so the format is implemented from its public spec). ZSTD binds the
+system ``libzstd`` via ctypes (the same library the reference's
+ZSTDCodec wraps, ``CompressionCodecs.h:141``); when the library is
+absent, zlib fills the stronger-entropy role. Delta / DoubleDelta /
+Gorilla(xor) / T64 (bit-packed transpose-free variant) are faithful
+re-implementations of the transform stages.
 """
 
 from __future__ import annotations
 
+import ctypes
+import ctypes.util
 import struct
 import zlib
 from typing import Dict, List
@@ -28,6 +32,47 @@ METHOD_DOUBLE_DELTA = 0x03
 METHOD_GORILLA = 0x04
 METHOD_T64 = 0x05
 METHOD_LZ4 = 0x06
+METHOD_ZSTD = 0x07
+
+
+def _load_libzstd():
+    """Bind the system libzstd (simple one-shot API) via ctypes.
+
+    Returns None when the shared library is absent — the codec registry
+    then simply omits "zstd" and zlib remains the entropy stand-in.
+    """
+    name = ctypes.util.find_library("zstd")
+    candidates = [name] if name else []
+    candidates += ["libzstd.so.1", "libzstd.so"]
+    for cand in candidates:
+        if not cand:
+            continue
+        try:
+            lib = ctypes.CDLL(cand)
+        except OSError:
+            continue
+        try:
+            lib.ZSTD_compressBound.restype = ctypes.c_size_t
+            lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+            lib.ZSTD_compress.restype = ctypes.c_size_t
+            lib.ZSTD_compress.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+            ]
+            lib.ZSTD_decompress.restype = ctypes.c_size_t
+            lib.ZSTD_decompress.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.c_void_p, ctypes.c_size_t,
+            ]
+            lib.ZSTD_isError.restype = ctypes.c_uint
+            lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+            return lib
+        except AttributeError:
+            continue
+    return None
+
+
+_LIBZSTD = _load_libzstd()
 
 
 class Codec:
@@ -208,6 +253,43 @@ class Lz4Codec(Codec):
         return bytes(out)
 
 
+class ZstdCodec(Codec):
+    """ZSTD via the system libzstd (reference ``CompressionCodecs.h:141``
+    ZSTDCodec wraps the same library). One-shot simple API; the frame
+    carries the content size so no extra length framing is needed."""
+
+    method = METHOD_ZSTD
+
+    def __init__(self, level: int = 3):
+        if _LIBZSTD is None:  # pragma: no cover - env without libzstd
+            raise RuntimeError("libzstd not available")
+        self.level = level
+
+    def compress(self, data: bytes) -> bytes:
+        n = len(data)
+        bound = _LIBZSTD.ZSTD_compressBound(n)
+        dst = ctypes.create_string_buffer(bound)
+        written = _LIBZSTD.ZSTD_compress(dst, bound, data, n, self.level)
+        if _LIBZSTD.ZSTD_isError(written):
+            raise ValueError("zstd: compression failed")
+        # frame the decoded size explicitly (like Lz4Codec) so decompress
+        # never depends on the frame header's optional content-size field
+        return struct.pack("<Q", n) + dst.raw[:written]
+
+    def decompress(self, data: bytes) -> bytes:
+        (out_size,) = struct.unpack_from("<Q", data)
+        src = data[8:]
+        if out_size == 0:
+            return b""
+        dst = ctypes.create_string_buffer(out_size)
+        got = _LIBZSTD.ZSTD_decompress(dst, out_size, src, len(src))
+        if _LIBZSTD.ZSTD_isError(got) or got != out_size:
+            raise ValueError(
+                f"zstd: corrupt frame ({got} of {out_size} bytes)"
+            )
+        return dst.raw
+
+
 class T64Codec(Codec):
     """Bit-width reduction for int64 (the role of ClickHouse T64): subtract
     min, pack at the needed width."""
@@ -249,6 +331,8 @@ CODECS: Dict[str, Codec] = {
     "gorilla": GorillaCodec(),
     "t64": T64Codec(),
 }
+if _LIBZSTD is not None:
+    CODECS["zstd"] = ZstdCodec()
 
 _BY_METHOD = {c.method: c for c in CODECS.values()}
 

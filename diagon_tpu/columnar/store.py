@@ -21,8 +21,14 @@ from diagon_tpu.columnar.compression import compress, decompress
 from diagon_tpu.columnar.table import BloomIndex, ColumnarTable, MinMaxIndex
 from diagon_tpu.store.format import ArrayBundleReader, ArrayBundleWriter
 
-DEFAULT_CHAIN = ["zlib"]
-NUMERIC_CHAIN = ["delta", "t64", "zlib"]
+# Entropy stage: ZSTD when libzstd is present (the reference's default
+# strong codec, CompressionCodecs.h:141), zlib otherwise. The method-byte
+# framing makes readers agnostic to which wrote a given block.
+from diagon_tpu.columnar.compression import CODECS as _CODECS
+
+_ENTROPY = "zstd" if "zstd" in _CODECS else "zlib"
+DEFAULT_CHAIN = [_ENTROPY]
+NUMERIC_CHAIN = ["delta", "t64", _ENTROPY]
 
 
 def write_table(directory, name: str, table: ColumnarTable,

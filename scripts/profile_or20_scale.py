@@ -23,7 +23,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CACHE_DIR = os.path.expanduser("~/.cache/diagon_tpu")
+from diagon_tpu.bench.cache import bench_cache_dir
+
+CACHE_DIR = bench_cache_dir()
 
 
 def log(*a):

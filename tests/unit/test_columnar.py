@@ -46,7 +46,7 @@ def test_string_column():
     ["none"], ["zlib"], ["lz4"], ["delta"], ["delta", "zlib"],
     ["delta", "lz4"], ["doubledelta"], ["t64"],
     ["delta", "t64", "zlib"],
-])
+] + ([["zstd"], ["delta", "zstd"]] if "zstd" in CODECS else []))
 def test_codec_chains_int64(chain):
     rng = np.random.Generator(np.random.PCG64(5))
     v = np.cumsum(rng.integers(0, 100, size=1000)).astype(np.int64)
@@ -67,6 +67,31 @@ def test_compression_actually_compresses():
     v = np.arange(8192, dtype=np.int64)  # perfectly delta-compressible
     blob = compress(v.tobytes(), ["delta", "t64", "zlib"])
     assert len(blob) < len(v.tobytes()) / 20
+
+
+@pytest.mark.skipif("zstd" not in CODECS, reason="libzstd absent")
+def test_zstd_roundtrip_and_ratio():
+    """ZSTD codec (ctypes libzstd, reference CompressionCodecs.h:141
+    ZSTDCodec): round-trip on adversarial shapes and a ratio sanity check
+    — zstd must beat zlib-1 on compressible text-like data."""
+    from diagon_tpu.columnar.compression import ZlibCodec, ZstdCodec
+
+    c = ZstdCodec()
+    rng = np.random.Generator(np.random.PCG64(9))
+    text = (b"the quick brown fox jumps over the lazy dog " * 400)
+    cases = [
+        b"",
+        b"a",
+        text,
+        bytes(rng.integers(0, 256, 100000, dtype=np.uint8)),
+        bytes(8192),
+    ]
+    for data in cases:
+        assert c.decompress(c.compress(data)) == data
+    assert len(c.compress(text)) < len(ZlibCodec().compress(text))
+    # and through the chain framing
+    blob = compress(text, ["zstd"])
+    assert decompress(blob) == text
 
 
 def test_lz4_roundtrip_fuzz():
