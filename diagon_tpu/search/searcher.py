@@ -344,6 +344,11 @@ class IndexSearcher:
         (pure MUST_NOT)."""
         if isinstance(query, TermQuery):
             return query.term.field, [(query, Occur.SHOULD)], 1
+        if isinstance(query, PhraseQuery):
+            # single-SHOULD boolean wrapper: batch paths score the phrase
+            # via its PhraseExecutor host row (plans_for). Solo search()
+            # still prefers the direct _search_phrase candidate kernel.
+            return query.field, [(query, Occur.SHOULD)], 1
         if isinstance(
             query,
             (NumericRangeQuery, PointRangeQuery, DoubleRangeQuery,
@@ -648,6 +653,11 @@ class IndexSearcher:
         from diagon_tpu.observability.profiler import ProfileScope
 
         self._ensure_resident()
+        if isinstance(query, PhraseQuery):
+            # direct candidate-set kernel beats the dense-row batch path
+            # for a SOLO phrase (no batch to amortize the row build)
+            with ProfileScope("phrase"):
+                return self._search_phrase(query, k)
         tc = self._term_clauses(query)
         if tc is not None:
             field, clauses, min_should = tc
@@ -688,10 +698,6 @@ class IndexSearcher:
                     )
             with ProfileScope("merge"):
                 return merge_top_docs(parts, k)
-
-        if isinstance(query, PhraseQuery):
-            with ProfileScope("phrase"):
-                return self._search_phrase(query, k)
 
         return self._fallback_search(query, k)
 

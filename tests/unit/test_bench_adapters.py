@@ -116,6 +116,75 @@ def test_mixed_query_batch_distinct_and_supported():
     assert len(set(keys)) == len(keys), "queries must be distinct"
 
 
+def test_phrase_query_batch_distinct():
+    from diagon_tpu.bench.queries import phrase_query_batch
+    from diagon_tpu.search.query import PhraseQuery
+
+    pool = [f"w{i}" for i in range(60)]
+    batch = phrase_query_batch(pool, n=128, seed=3)
+    assert len(batch) == 128
+    assert all(isinstance(q, PhraseQuery) for q in batch)
+    keys = [tuple(q.terms) for q in batch]
+    assert len(set(keys)) == len(keys), "phrases must be distinct"
+    # the reference's 5 fixed phrases lead the batch
+    assert keys[0] == ("oil", "price")
+
+
+def test_phrase_and_mixed_phrase_batches_bit_exact():
+    """Batched phrase dispatch (the bench's phrase-throughput stage and
+    the phrase family inside the mixed batch) must be bit-exact vs the
+    oracle — VERDICT r4 missing #3."""
+    from diagon_tpu.bench.queries import (
+        frequent_terms,
+        mixed_query_batch,
+        phrase_query_batch,
+    )
+    from diagon_tpu.document import Document, TextField
+    from diagon_tpu.index.memory_index import MemoryIndex
+    from diagon_tpu.index.segment import flush_memory_index
+    from diagon_tpu.search.oracle import OracleSearcher
+    from diagon_tpu.search.searcher import IndexSearcher
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    words = np.asarray([f"w{i}" for i in range(50)], dtype=object)
+    mem = MemoryIndex()
+    for _ in range(500):
+        mem.add_document(
+            Document().add(
+                TextField(
+                    "body",
+                    " ".join(
+                        rng.choice(words, max(4, int(rng.normal(20, 5))))
+                    ),
+                )
+            )
+        )
+    seg = flush_memory_index(mem, "_ph")
+    s = IndexSearcher([seg])
+    ctx = s._ctx("body")
+    for ex in ctx.row_executors:
+        if ex is not None:
+            ex.prune_min_docs = 0
+            ex.prune_solo_min_docs = 0
+            ex.approx_min_q = 1
+    pool = frequent_terms(s, "body", 30)
+    o = OracleSearcher([seg])
+    for batch in (
+        phrase_query_batch(pool, n=24, seed=3)[5:],  # random phrases
+        mixed_query_batch(pool, n=32, seed=9, phrase_share=25),
+    ):
+        got = s.search_batch(batch, 10)
+        matched = 0
+        for q, g in zip(batch, got):
+            want = o.search(q, 10)
+            assert g.doc_ids() == want.doc_ids(), q
+            assert g.total_hits == want.total_hits
+            matched += want.total_hits > 0
+            for ow, dg in zip(want.score_docs, g.score_docs):
+                assert ow.score == dg.score
+        assert matched, "degenerate batch: no query matched anything"
+
+
 def test_mixed_batch_executes_bit_exact():
     """The generated mixed batch must be dispatchable end-to-end and
     bit-exact vs the oracle (the bench's batch-diversity stage)."""
