@@ -168,19 +168,32 @@ def main():
         if kw.get("agg_col") is None and got["count"]:
             assert got["min"] == float(col[mask].min()), name
             assert got["max"] == float(col[mask].max()), name
-        # device time: chain dispatches, block once
+        # metadata-resolvable queries answer on HOST (the reference's
+        # SKIP/BULK levels, ColumnarStore.h) — time the host call; the
+        # rest chain device dispatches and block once
+        host_path = got.get("host_fast_path", False)
         times = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            for _ in range(args.chain):
-                fused = dt.dispatch_range_agg(**kw)
-            # ONE scalar probe forces the whole chain; block_until_ready
-            # does NOT wait through the tunnel (enqueue-time only)
-            np.asarray(fused[0])
-            times.append((time.perf_counter() - t0) / args.chain)
+        if host_path:
+            reps = 200
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    dt.range_agg(**kw)
+                times.append((time.perf_counter() - t0) / reps)
+        else:
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                for _ in range(args.chain):
+                    fused = dt.dispatch_range_agg(**kw)
+                # ONE scalar probe forces the whole chain;
+                # block_until_ready does NOT wait through the tunnel
+                # (enqueue-time only)
+                np.asarray(fused[0])
+                times.append((time.perf_counter() - t0) / args.chain)
         dev_us = float(min(times) * 1e6)
         entry = {
             "device_us": round(dev_us, 1),
+            "path": "host_bulk" if host_path else "device",
             "count": got["count"],
             "granules_scanned": got["granules_scanned"],
             "granules_total": got["granules_total"],

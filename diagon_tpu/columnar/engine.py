@@ -271,6 +271,13 @@ class DeviceTable:
         valid.reshape(-1)[: self.num_rows] = True
         self.valid = dev(valid)
 
+        # host-side state for the metadata BULK fast path (the reference's
+        # SKIP/BULK levels answer metadata-decidable queries with no data
+        # read, ColumnarStore.h:1-47): per-column granule stats, built
+        # lazily by _granule_stats
+        self._host_codes: Dict[str, np.ndarray] = {}
+        self._gstats: Dict[str, tuple] = {}
+
         for name, col in table.columns.items():
             if not hasattr(col, "values"):
                 raws = np.empty(len(col), dtype=object)
@@ -278,6 +285,7 @@ class DeviceTable:
                     raws[i] = col[i]
                 uniq, codes = np.unique(raws, return_inverse=True)
                 self.dicts[name] = uniq
+                self._host_codes[name] = codes.astype(np.int64)
                 pl = np.zeros((3, G * R), np.int32)
                 pl[:, : self.num_rows] = _int_planes(
                     codes.astype(np.int64), 0
@@ -388,6 +396,144 @@ class DeviceTable:
         self.minmax[name] = mm
         return mm
 
+    # -- host metadata fast path (reference SKIP/BULK levels) ------------
+    def _host_values(self, name) -> Optional[np.ndarray]:
+        """Host value array a granule-level scan can use: raw numeric
+        values, or dictionary codes for string columns (code order ==
+        byte order, so range predicates translate exactly)."""
+        if name in self._host_codes:
+            return self._host_codes[name]
+        col = self.table.columns.get(name)
+        return col.values if col is not None and hasattr(col, "values") \
+            else None
+
+    def _granule_stats(self, name):
+        """(counts, sums, mins, maxs) per granule over host values —
+        int64/f64 exact; cached. sums is None for string columns."""
+        st = self._gstats.get(name)
+        if st is not None:
+            return st
+        vals = self._host_values(name)
+        if vals is None:
+            return None
+        R = self.granule_rows
+        G = self.num_granules
+        starts = np.arange(G, dtype=np.int64) * R
+        counts = np.minimum(self.num_rows - starts, R)
+        mins = np.minimum.reduceat(vals, starts)
+        maxs = np.maximum.reduceat(vals, starts)
+        if name in self.dicts:
+            sums = None
+        elif np.issubdtype(vals.dtype, np.integer):
+            sums = np.add.reduceat(vals.astype(np.int64), starts)
+        else:
+            sums = np.add.reduceat(vals.astype(np.float64), starts)
+        st = (counts, sums, mins, maxs)
+        self._gstats[name] = st
+        return st
+
+    def _host_bounds(self, name, lower, upper):
+        """(lo, hi) in host-value space (codes for strings), or None when
+        the range is empty by construction."""
+        if name in self.dicts:
+            uniq = self.dicts[name]
+
+            def enc(v):
+                return v.encode() if isinstance(v, str) else bytes(v)
+
+            lo = 0 if lower is None else int(
+                np.searchsorted(uniq, enc(lower), "left")
+            )
+            hi = len(uniq) - 1 if upper is None else int(
+                np.searchsorted(uniq, enc(upper), "right")
+            ) - 1
+            if hi < lo:
+                return None
+            return lo, hi
+        lo = -np.inf if lower is None else lower
+        hi = np.inf if upper is None else upper
+        return lo, hi
+
+    def host_fast_agg(self, filter_col, lower=None, upper=None,
+                      agg_col: Optional[str] = None, max_partial: int = 4):
+        """Metadata-level resolution (the reference's SKIP/BULK levels,
+        ColumnarStore.h:1-47): classify every granule against the filter
+        range via host minmax; fully-inside granules contribute their
+        precomputed count/sum/min/max, fully-outside granules nothing,
+        and up to ``max_partial`` boundary granules get an exact host
+        scan of their <=granule_rows rows. Returns None (caller takes the
+        device path) when more granules are partial than that, or when a
+        column has no host values.
+
+        Results are EXACT (int64/f64 accumulation) — they match the
+        host-oracle scan bit-for-bit, which the device path's f32
+        cross-granule sums only approximate."""
+        agg_name = agg_col or filter_col
+        fstats = self._granule_stats(filter_col)
+        astats = self._granule_stats(agg_name)
+        fvals = self._host_values(filter_col)
+        avals = self._host_values(agg_name)
+        if fstats is None or astats is None:
+            return None
+        counts, _, fmins, fmaxs = fstats
+        _, asums, amins, amaxs = astats
+        is_str_agg = agg_name in self.dicts
+        bounds = self._host_bounds(filter_col, lower, upper)
+        G, R = self.num_granules, self.granule_rows
+        if bounds is None:
+            full_in = np.zeros(G, bool)
+            partial = np.zeros(G, bool)
+        else:
+            lo, hi = bounds
+            full_out = (fmaxs < lo) | (fmins > hi)
+            full_in = (fmins >= lo) & (fmaxs <= hi)
+            partial = ~full_out & ~full_in
+            if int(partial.sum()) > max_partial:
+                return None
+        cnt = int(counts[full_in].sum())
+        s = None if is_str_agg else (
+            float(asums[full_in].sum()) if cnt else 0.0
+        )
+        mn = amins[full_in].min() if full_in.any() else None
+        mx = amaxs[full_in].max() if full_in.any() else None
+        for g in np.nonzero(partial)[0]:
+            a, b = g * R, min((g + 1) * R, self.num_rows)
+            fv = fvals[a:b]
+            m = (fv >= lo) & (fv <= hi)
+            k = int(m.sum())
+            if not k:
+                continue
+            cnt += k
+            sel = avals[a:b][m]
+            if not is_str_agg:
+                s = (s or 0.0) + float(
+                    sel.sum(dtype=np.int64)
+                    if np.issubdtype(sel.dtype, np.integer)
+                    else sel.sum(dtype=np.float64)
+                )
+            pmn, pmx = sel.min(), sel.max()
+            mn = pmn if mn is None else min(mn, pmn)
+            mx = pmx if mx is None else max(mx, pmx)
+        if is_str_agg:
+            uniq = self.dicts[agg_name]
+            out_mn = bytes(uniq[int(mn)]) if cnt else None
+            out_mx = bytes(uniq[int(mx)]) if cnt else None
+            return {
+                "count": cnt, "sum": None, "min": out_mn, "max": out_mx,
+                "avg": None,
+                "granules_scanned": int(partial.sum()),
+                "granules_total": G, "host_fast_path": True,
+            }
+        return {
+            "count": cnt,
+            "sum": s if cnt else 0.0,
+            "min": float(mn) if cnt else None,
+            "max": float(mx) if cnt else None,
+            "avg": (s / cnt) if cnt else None,
+            "granules_scanned": int(partial.sum()),
+            "granules_total": G, "host_fast_path": True,
+        }
+
     # -- queries ---------------------------------------------------------
     def dispatch_range_agg(self, filter_col, lower=None, upper=None,
                            agg_col: Optional[str] = None):
@@ -442,9 +588,19 @@ class DeviceTable:
         lower=None,
         upper=None,
         agg_col: Optional[str] = None,
+        host_fast: bool = True,
     ) -> Dict[str, float]:
         """count/sum/min/max/avg of ``agg_col`` over rows where
-        ``filter_col`` in [lower, upper] (one readback)."""
+        ``filter_col`` in [lower, upper] (one readback).
+
+        ``host_fast=True`` (default) first tries the metadata BULK path
+        (host_fast_agg): a query decided by granule minmax (+ a few
+        boundary-granule host scans) answers in microseconds with no
+        device dispatch, and with exact int64/f64 aggregation."""
+        if host_fast:
+            out = self.host_fast_agg(filter_col, lower, upper, agg_col)
+            if out is not None:
+                return out
         fused = np.asarray(
             self.dispatch_range_agg(filter_col, lower, upper, agg_col)
         )

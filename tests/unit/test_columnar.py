@@ -205,7 +205,10 @@ def test_device_range_agg_matches_numpy():
     price = t.columns["price"].values
 
     lo, hi = 100000, 600000
-    got = dt.range_agg("ts", lo, hi, agg_col="price")
+    # host_fast=False: this test pins the DEVICE kernel's semantics
+    # (f32 min/max, f32 cross-granule sums); the host BULK path is
+    # covered by test_host_fast_agg_* below
+    got = dt.range_agg("ts", lo, hi, agg_col="price", host_fast=False)
     mask = (ts >= lo) & (ts <= hi)
     assert got["count"] == int(mask.sum())
     assert got["min"] == np.float32(price[mask].astype(np.float32).min())
@@ -214,8 +217,63 @@ def test_device_range_agg_matches_numpy():
     # sorted ts -> granule pruning must actually skip granules
     assert got["granules_scanned"] < got["granules_total"]
 
-    empty = dt.range_agg("ts", 1 << 30, None)
+    empty = dt.range_agg("ts", 1 << 30, None, host_fast=False)
     assert empty["count"] == 0 and empty["min"] is None
+
+
+def test_host_fast_agg_bulk_resolution():
+    """Metadata BULK fast path (reference ColumnarStore.h SKIP/BULK):
+    queries decided by granule minmax (+ boundary scans) answer on host,
+    exactly, with no device dispatch."""
+    t = _table()
+    dt = DeviceTable(t)
+    ts = t.columns["ts"].values
+    price = t.columns["price"].values
+
+    # sorted filter column -> at most 2 boundary granules are partial
+    lo, hi = 100000, 600000
+    got = dt.host_fast_agg("ts", lo, hi, agg_col="price")
+    assert got is not None and got["host_fast_path"]
+    mask = (ts >= lo) & (ts <= hi)
+    assert got["count"] == int(mask.sum())
+    assert got["min"] == price[mask].min()
+    assert got["max"] == price[mask].max()
+    assert abs(got["sum"] - price[mask].sum(dtype=np.float64)) < 1e-6 * max(
+        1.0, abs(price[mask].sum())
+    )
+    assert got["granules_scanned"] <= 2  # only the boundary granules
+
+    # int agg over int filter: exact int64 sums
+    got = dt.host_fast_agg("ts", lo, hi)
+    assert got["count"] == int(mask.sum())
+    assert got["sum"] == float(ts[mask].sum(dtype=np.int64))
+
+    # empty range below everything
+    got = dt.host_fast_agg("ts", -100, -1)
+    assert got["count"] == 0 and got["min"] is None and got["sum"] == 0.0
+
+    # full-table range: zero partial granules, pure metadata
+    got = dt.host_fast_agg("ts", None, None)
+    assert got["granules_scanned"] == 0
+    assert got["count"] == t.num_rows
+    assert got["min"] == float(ts.min()) and got["max"] == float(ts.max())
+
+    # range above every value: all granules full-out, metadata-only zero
+    out = dt.host_fast_agg("price", 200.0, 300.0)
+    assert out["count"] == 0 and out["granules_scanned"] == 0
+
+    # unsorted filter column: more partial granules than the cap -> the
+    # host path declines and the caller takes the device kernel
+    assert dt.host_fast_agg("price", 20.0, 30.0, max_partial=1) is None
+    mid = dt.host_fast_agg("price", 20.0, 30.0)  # 3 granules, all partial
+    pm = (price >= 20.0) & (price <= 30.0)
+    assert mid["count"] == int(pm.sum())
+    assert mid["min"] == price[pm].min()
+
+    # and range_agg transparently uses the host path where it applies
+    via = dt.range_agg("ts", lo, hi, agg_col="price")
+    assert via.get("host_fast_path") is True
+    assert via["count"] == int(mask.sum())
 
 
 def test_device_group_agg_matches_numpy():
