@@ -648,6 +648,25 @@ def _run(args, holder):
     except Exception as exc:  # pragma: no cover
         log(f"RESULTS.md write failed: {exc}")
 
+    # ---- perf-trend gate (the reference's check_fst_regression.py role,
+    # run automatically after every bench): append to the history and
+    # flag any tracked metric >20% below its recorded best ----
+    try:
+        import subprocess
+
+        merged = dict(result)
+        if isinstance(build_stats, dict) and "docs_per_s" in build_stats:
+            merged["docs_per_s"] = build_stats["docs_per_s"]
+        gate = subprocess.run(
+            [sys.executable, "scripts/perf_trend.py", "record",
+             json.dumps(merged)],
+            capture_output=True, text=True, timeout=60,
+        )
+        tailtxt = ((gate.stdout or "") + (gate.stderr or ""))[-800:]
+        log(f"perf-trend gate rc={gate.returncode}: {tailtxt.strip()}")
+    except Exception as exc:  # pragma: no cover
+        log(f"perf-trend gate failed to run: {exc}")
+
 
 def component_benches(result, reserve=300):
     """Columnar + sparse component benches as capped subprocesses.

@@ -35,14 +35,17 @@ HISTORY = os.path.join(
 TRACKED = {
     "or20_qps": (["value"], True),
     "mixed_qps": (["mixed_qps"], True),
+    "phrase_qps": (["phrase_qps"], True),
     "or20_1m_qps": (["or20_1m_qps"], True),
     "mixed_1m_qps": (["mixed_1m_qps"], True),
     "or20_10m_qps": (["or20_10m_qps"], True),
     "mixed_10m_qps": (["mixed_10m_qps"], True),
     "docs_per_s": (["docs_per_s", "extras.indexing.docs_per_s"], True),
-    "sparse_top10_qps": (["extras.sparse.value", "sparse_top10_qps"], True),
+    "sparse_top10_qps": (
+        ["extras.sparse.value", "sparse_top10_qps", "sparse_qps"], True),
     "columnar_q9_device_us": (
-        ["extras.columnar.value", "columnar_q9_device_us"], False),
+        ["extras.columnar.value", "columnar_q9_device_us",
+         "columnar_q9_us"], False),
 }
 
 
