@@ -504,7 +504,9 @@ def _run(args, holder):
             # only fits when the external budget was raised. Otherwise
             # the headline JSON carries an explicit error key, never a
             # silent stderr skip.
-            build_est = 170 if docs <= 1_000_000 else 1150
+            # measured 2026-08-20: 1M = 76s build + 26s bundle write;
+            # 10M = 1696s build + 1939s write (one core)
+            build_est = 170 if docs <= 1_000_000 else 3700
             if remaining() < min_need + build_est:
                 log(f"{docs}-doc tier: no cached segment and building "
                     f"needs ~{build_est}s (remaining {remaining():.0f}s)")

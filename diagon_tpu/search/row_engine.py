@@ -1023,6 +1023,110 @@ def _compact_place_row(ct, cb, row, g0):
     return ct, cb
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _compact_place_t(ct, sub, g0):
+    """Tile-major-only variant of _compact_place: phase-0 entries hold
+    no bf16 bank (selection rides tile maxima, hits ride bitmaps)."""
+    body = sub[:-1]
+    rows = body.shape[0]
+    G = ct.shape[0]
+    sub_t = body.reshape(rows, G, LANE).transpose(1, 0, 2)
+    return jax.lax.dynamic_update_slice(
+        ct, sub_t, (jnp.int32(0), g0, jnp.int32(0))
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _compact_place_row_t(ct, row, g0):
+    G = ct.shape[0]
+    row_t = row.reshape(1, G, LANE).transpose(1, 0, 2)
+    return jax.lax.dynamic_update_slice(
+        ct, row_t, (jnp.int32(0), g0, jnp.int32(0))
+    )
+
+
+@jax.jit
+def _ubank_from_tiles(ct):
+    """[G, U8, LANE] -> [U8, G] per-row tile maxima (one bank read)."""
+    return ct.max(axis=2).T
+
+
+@partial(jax.jit, static_argnames=("rows",), donate_argnums=(0,))
+def _bits_place_chunk(bits, ct, live_tiles, g0, *, rows):
+    """Pack (row > 0) & live presence bits for a tile-chunk into the
+    [U8, G*4] u32 bitmap bank. Bit d%32 of word d//32 covers doc d
+    (d = g*LANE + l -> word g*4 + l//32), matching _pack_live_bits."""
+    sl = jax.lax.dynamic_slice_in_dim(ct, g0, rows, 0)  # [rows, U8, LANE]
+    lv = jax.lax.dynamic_slice_in_dim(live_tiles, g0, rows, 0)
+    m = ((sl > 0) & (lv[:, None, :] > 0)).astype(jnp.uint32)
+    m4 = m.reshape(rows, sl.shape[1], 4, 32)
+    w = jnp.sum(
+        m4 << jax.lax.broadcasted_iota(jnp.uint32, m4.shape, 3),
+        axis=-1, dtype=jnp.uint32,
+    )  # [rows, U8, 4]
+    wt = w.transpose(1, 0, 2).reshape(sl.shape[1], rows * 4)
+    return jax.lax.dynamic_update_slice(
+        bits, wt, (jnp.int32(0), g0 * jnp.int32(4))
+    )
+
+
+def _build_bits_bank(ct, live, device=None):
+    """u32 [U8, G*4] live presence bitmaps from the tile-major bank,
+    chunked so the u32 unpack temp stays ~256 MB at any scale."""
+    G, U8, _ = ct.shape
+    live_tiles = live.reshape(G, LANE)
+    bits = jnp.zeros((U8, G * 4), jnp.uint32)
+    if device is not None:
+        bits = jax.device_put(bits, device)
+    step = max(256, (1 << 26) // max(U8 * LANE, 1))
+    # round the step so only two distinct (rows, U8) compiles exist
+    step = min(G, -(-step // 256) * 256)
+    for g0 in range(0, G, step):
+        rows = min(step, G - g0)
+        bits = _bits_place_chunk(
+            bits, ct, live_tiles, jnp.int32(g0), rows=rows
+        )
+    return bits
+
+
+@partial(jax.jit, static_argnames=("Bk", "boolean"))
+def _pruned_batch_phase0(ubank, a_sc_f, a_rq_f, a_sh_f, params_t,
+                         *, Bk: int, boolean: bool):
+    """Tile selection from per-row TILE maxima (no per-doc pass).
+
+    tile_upper[q, g] = sum over q's scoring clauses of row tile maxima
+    >= the true max score in tile g (true scores are f32 sums of the
+    same row values; the (1 + _APPROX_RELEPS) inflation dominates both
+    the f32 matmul's reassociation rounding and the oracle's summation
+    order). Boolean tiles are additionally feasibility-gated: a tile
+    missing any required row, or with fewer present SHOULD rows than
+    min_should, can hold no match and gets bound -1*(1+eps) — exactly
+    the phase-1 infeasible marker, so downstream certificates
+    (_pruned_batch_finish) are unchanged. Selection looseness only ever
+    costs an escalation, never exactness: any unselected doc's true
+    score <= its tile bound <= u_next, and the certificate demands
+    theta > u_next (or the zero/infeasible cases) before trusting the
+    pruned result."""
+    G = ubank.shape[1]
+    ct = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ub0 = ct(a_sc_f, ubank)  # [Q, G]
+    m = jnp.float32(1.0) + _APPROX_RELEPS
+    if boolean:
+        pres = (ubank > 0).astype(jnp.float32)
+        rc = ct(a_rq_f, pres)
+        oc = ct(a_sh_f, pres)
+        nreq = params_t[0][:, None]
+        msm = params_t[1][:, None]
+        feasible = (rc >= nreq) & (oc >= msm)
+        tile_upper = jnp.where(feasible, ub0 * m, jnp.float32(-1.0) * m)
+    else:
+        tile_upper = ub0 * m
+    return _select_tiles(tile_upper, Bk, G, deterministic=boolean)
+
+
 # blocks per _build_bank_chunk call. 2^16 bounds the chunk program's
 # scoped decode temps to ~0.7 GB: the 2^18 version's ~3 GB of temps
 # OOM'd the 10M-doc build next to its 6.5 GB bank.
@@ -1477,6 +1581,22 @@ class CompactBatch:
     # query_cache=False so qps stays comparable to the reference's
     # full-rescore-per-iteration numbers.
     p1_cache: dict = field(default_factory=dict)
+    # ---- phase-0 (on-demand scale) state; None on phase-1 entries ----
+    # Phase-0 replaces the full-D bf16 matmul with per-row TILE maxima
+    # bounds (the block-max metadata of WANDScorer.h in batch-matmul
+    # form): selection cost drops from Q*U8*D MACs to Q*U8*G, and exact
+    # hit counts ride the 32x-denser presence bitmaps (pallas_bits_hits).
+    # Eligibility (min_should <= 1 for every query) is decided at build;
+    # eligible entries skip the bf16 bank entirely (entry bytes drop
+    # from 6*D*U8 to ~4.2*D*U8, which lets the purity-split mixed
+    # entries BOTH stay cached at 10M docs instead of rebuilding every
+    # dispatch — the r4 129 ms/batch wall).
+    ubank: object = None  # f32 [U8, G] per-row tile maxima
+    bits: object = None  # u32 [U8, G*4] per-row live presence bitmaps
+    qmode: object = None  # i32 [Q] bits_hits MODE_* words
+    a_sc_f: object = None  # f32 [U8, Q] (phase-0 bound matmul)
+    a_rq_f: object = None
+    a_sh_f: object = None
 
 
 @dataclass
@@ -1769,15 +1889,18 @@ class RowExecutor:
     COMPACT_GROUP_BYTES = 2 << 30
 
     # on-demand mode budget: with no resident heavy bank the compact
-    # banks own most of HBM; ~6.3 B/doc/row real (f32 tile-major + bf16)
-    # with headroom for the build's transient row group
-    ON_DEMAND_GROUP_BYTES = 8 << 30
+    # banks own most of HBM; phase-0 entries cost ~4.2 B/doc/row (f32
+    # tile-major + bitmaps + tile maxima, no bf16), phase-1 entries
+    # ~6.3 (f32 tile-major + bf16); headroom covers the build's
+    # transient row group
+    ON_DEMAND_GROUP_BYTES = 9 << 30
 
     def _compact_row_cap(self) -> int:
         D = self.index.num_docs_pad
         if self.index.bank_on_demand:
+            per_row = 5 * D if self.use_phase0 else 7 * D
             return min(self.COMPACT_MAX_ROWS,
-                       max(32, self.ON_DEMAND_GROUP_BYTES // (7 * D)))
+                       max(32, self.ON_DEMAND_GROUP_BYTES // per_row))
         return min(self.COMPACT_MAX_ROWS,
                    max(32, self.COMPACT_GROUP_BYTES // (10 * D)))
 
@@ -1849,34 +1972,54 @@ class RowExecutor:
             + 8 * (ng_arr > 0).astype(np.int32)
         )
         D = self.index.num_docs_pad
+        phase0 = (
+            self.use_phase0
+            and self.index.bank_on_demand
+            and all(p.min_should <= 1 for p in plans)
+        )
         if self.index.bank_on_demand:
             # no resident heavy bank at this scale: scatter-build exactly
             # the rows this batch uses from the packed postings, placing
-            # each row group straight into the (donated) tile-major f32 +
-            # bf16 banks — peak residency = banks + one transient group
+            # each row group straight into the (donated) tile-major f32
+            # (+ bf16 for phase-1 entries) banks — peak residency =
+            # banks + one transient group. Phase-0 entries skip the bf16
+            # bank: selection rides tile maxima, hits ride bitmaps.
             idx = self.index
             G = D // LANE
             U8 = -(-n_rows // 8) * 8
             compact_t = jnp.zeros((G, U8, LANE), jnp.float32)
-            compact_bf16 = jnp.zeros((U8, D), jnp.bfloat16)
+            compact_bf16 = None
+            if not phase0:
+                compact_bf16 = jnp.zeros((U8, D), jnp.bfloat16)
             if idx.device is not None:
                 compact_t = jax.device_put(compact_t, idx.device)
-                compact_bf16 = jax.device_put(compact_bf16, idx.device)
+                if compact_bf16 is not None:
+                    compact_bf16 = jax.device_put(compact_bf16, idx.device)
             if len(used):
                 tids = idx.heavy_tid_of_row[used]
                 ws = idx.heavy_weight[used]
                 for g0, sub in idx.build_rows_grouped(tids, ws):
-                    compact_t, compact_bf16 = _compact_place(
-                        compact_t, compact_bf16, sub, jnp.int32(1 + g0)
-                    )
+                    if phase0:
+                        compact_t = _compact_place_t(
+                            compact_t, sub, jnp.int32(1 + g0)
+                        )
+                    else:
+                        compact_t, compact_bf16 = _compact_place(
+                            compact_t, compact_bf16, sub, jnp.int32(1 + g0)
+                        )
             for j in range(n_light):
                 row = jax.lax.dynamic_slice_in_dim(
                     light_bank, 1 + j, 1, 0
                 )
-                compact_t, compact_bf16 = _compact_place_row(
-                    compact_t, compact_bf16, row,
-                    jnp.int32(1 + len(used) + j),
-                )
+                if phase0:
+                    compact_t = _compact_place_row_t(
+                        compact_t, row, jnp.int32(1 + len(used) + j)
+                    )
+                else:
+                    compact_t, compact_bf16 = _compact_place_row(
+                        compact_t, compact_bf16, row,
+                        jnp.int32(1 + len(used) + j),
+                    )
         else:
             parts = [jnp.zeros((1, D), jnp.float32)]
             if len(used):
@@ -1901,7 +2044,18 @@ class RowExecutor:
             U8 = int(compact_f32.shape[0])
             compact_t = _tile_major(compact_f32)
             compact_bf16 = compact_f32.astype(jnp.bfloat16)
-        nbytes = U8 * D * 6  # f32 tile-major + bf16
+        if phase0:
+            # phase-0 metadata: per-row tile maxima + live presence
+            # bitmaps (two bank reads, once per cached entry build)
+            ubank = _ubank_from_tiles(compact_t)
+            bits = _build_bits_bank(
+                compact_t, self.index.live, self.index.device
+            )
+            # f32 tile-major + bits + ubank (no bf16 bank)
+            nbytes = U8 * D * 4 + U8 * (D // 8) + U8 * (D // LANE) * 4
+        else:
+            ubank = bits = None
+            nbytes = U8 * D * 6  # f32 tile-major + bf16
 
         # transposed per-role clause-indicator matrices for phase 1
         nq, tq = cidx.shape
@@ -1929,6 +2083,26 @@ class RowExecutor:
             a_cb = dev(a["rq"] * np.float32(256.0) + a["sh"]).astype(
                 jnp.bfloat16
             )
+        qmode_dev = a_sc_f = a_rq_f = a_sh_f = None
+        if phase0:
+            from diagon_tpu.ops.pallas.bits_hits import (
+                MODE_DEAD,
+                MODE_REQ,
+                MODE_SHO,
+            )
+
+            qmode = np.zeros(nq, np.int32)
+            for qi, p in enumerate(plans):
+                if p.num_required > 0:
+                    qmode[qi] |= MODE_REQ
+                    if int((rq_arr[qi] > 0).sum()) < p.num_required:
+                        qmode[qi] |= MODE_DEAD
+                if p.min_should >= 1 or p.num_required == 0:
+                    qmode[qi] |= MODE_SHO
+            qmode_dev = dev(qmode)
+            a_sc_f = dev(a["sc"])
+            a_rq_f = dev(a["rq"])
+            a_sh_f = dev(a["sh"])
         return CompactBatch(
             compact_t,
             compact_bf16,
@@ -1941,6 +2115,12 @@ class RowExecutor:
             a_cb,
             dev(params),
             nbytes,
+            ubank=ubank,
+            bits=bits,
+            qmode=qmode_dev,
+            a_sc_f=a_sc_f,
+            a_rq_f=a_rq_f,
+            a_sh_f=a_sh_f,
         )
 
     # total device bytes the batch-entry LRU may hold (compact banks are
@@ -1950,6 +2130,16 @@ class RowExecutor:
     # stay resident — at 2 GB the split pair thrashed the LRU and rebuilt
     # a compact bank EVERY dispatch (measured 19 ms -> 300+ ms per batch)
     BATCH_CACHE_BUDGET = 5 << 30
+    # on-demand (huge-segment) phase-0 budget: no resident heavy bank and
+    # no bf16 copies, so the purity-split 10M mixed entries (~6 + ~5 GB)
+    # AND the or20 entry all fit — the r4 129 ms/batch rebuild was these
+    # entries thrashing the 5 GB budget
+    ON_DEMAND_CACHE_BUDGET = 12 << 30
+
+    def _cache_budget(self) -> int:
+        if self.index.bank_on_demand and self.use_phase0:
+            return self.ON_DEMAND_CACHE_BUDGET
+        return self.BATCH_CACHE_BUDGET
 
     def _entry(self, plans: Sequence[RowPlan]):
         ck = tuple(id(p) for p in plans)
@@ -1964,9 +2154,15 @@ class RowExecutor:
             vocab = set()
             for p in plans:
                 vocab |= self._plan_row_keys(p)
-            est = 12 * self.index.num_docs_pad * (len(vocab) + 9)
+            budget = self._cache_budget()
+            per_row = (
+                5
+                if (self.index.bank_on_demand and self.use_phase0)
+                else 12
+            )
+            est = per_row * self.index.num_docs_pad * (len(vocab) + 9)
             while (
-                self._batch_bytes + est > self.BATCH_CACHE_BUDGET
+                self._batch_bytes + est > budget
                 and self._batch_cache
             ):
                 _, (_, _, nb) = self._batch_cache.popitem(last=False)
@@ -1980,7 +2176,7 @@ class RowExecutor:
             self._batch_bytes += nbytes
             self._batch_cache[ck] = entry
             while (
-                self._batch_bytes > self.BATCH_CACHE_BUDGET
+                self._batch_bytes > budget
                 and len(self._batch_cache) > 1
             ):
                 _, (_, _, nb) = self._batch_cache.popitem(last=False)
@@ -2051,6 +2247,9 @@ class RowExecutor:
 
     # pallas is the default pure-OR path; set False to force the XLA scan
     use_pallas: bool = True
+    # phase-0 tile-maxima selection + bitmap hit counts for on-demand
+    # (huge-segment) batches; False forces the full-D bf16 phase 1
+    use_phase0: bool = True
     # LRUQueryCache role: replay phase-1 scoring state when an identical
     # batch is re-issued (staged/huge-segment path only). Default on,
     # like the reference's searcher-level query cache; benches turn it
@@ -2139,6 +2338,32 @@ class RowExecutor:
             if compact is None or not self.use_pallas:
                 return None  # exhaustive fallback
             self.metrics["tiles"].increment(len(plans) * B)
+            if compact.ubank is not None:
+                # phase-0 route (on-demand scale): tile-maxima bounds +
+                # bitmap hit counts; same phase-2 + certificates
+                from diagon_tpu.ops.pallas.bits_hits import (
+                    pallas_bits_hits,
+                )
+
+                Bk = min(B, G)
+                tsel, u_next, min_unsel = _pruned_batch_phase0(
+                    compact.ubank, compact.a_sc_f, compact.a_rq_f,
+                    compact.a_sh_f, compact.params_t,
+                    Bk=Bk, boolean=not pure_or,
+                )
+                hits = pallas_bits_hits(
+                    compact.bits, compact.cidx, compact.cflags,
+                    compact.qmode, interpret=interpret,
+                )
+                fused = _pruned_batch_phase2(
+                    compact.compact_t, compact.cidx, compact.cflags,
+                    idx.live, tsel, u_next, min_unsel, hits,
+                    bool_params, k=k, boolean=not pure_or,
+                    interpret=interpret,
+                )
+                if out_q is not None and out_q != len(plans):
+                    fused = fused[:out_q]
+                return fused
             return row_score_topk_pruned_batch(
                 compact.compact_t,
                 compact.compact_bf16,

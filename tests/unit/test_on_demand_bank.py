@@ -122,6 +122,59 @@ def test_on_demand_batch_bit_exact(od_searcher):
             assert o.score == g.score
 
 
+def test_on_demand_phase0_engages_and_bit_exact(od_searcher):
+    """The phase-0 route (tile-maxima selection + bitmap hit counts)
+    must actually engage for min_should<=1 on-demand batches — and stay
+    bit-exact across pure-OR, MUST+SHOULD, FILTER, MUST_NOT, and a
+    dead query (absent required term)."""
+    s, oracle = od_searcher
+    batch = [
+        _or(["oil", "price", "w7"]),
+        TermQuery("body", "trade"),
+        BooleanQuery([
+            BooleanClause(TermQuery("body", "w3"), Occur.MUST),
+            BooleanClause(TermQuery("body", "oil"), Occur.SHOULD),
+            BooleanClause(TermQuery("body", "w9"), Occur.SHOULD),
+        ]),
+        BooleanQuery([
+            BooleanClause(TermQuery("body", "w1"), Occur.FILTER),
+            BooleanClause(TermQuery("body", "price"), Occur.SHOULD),
+        ]),
+        BooleanQuery([
+            BooleanClause(TermQuery("body", "w2"), Occur.MUST),
+            BooleanClause(TermQuery("body", "rare1"), Occur.MUST_NOT),
+        ]),
+        BooleanQuery([
+            BooleanClause(TermQuery("body", "zz_absent"), Occur.MUST),
+            BooleanClause(TermQuery("body", "oil"), Occur.SHOULD),
+        ]),
+    ] * 2
+    handles = s.dispatch_batch(batch, 10)
+    res = s.collect_batch(handles)
+    for q, td in zip(batch, res):
+        want = oracle.search(q, 10)
+        assert td.doc_ids() == want.doc_ids(), q
+        assert td.total_hits == want.total_hits, q
+        for o, g in zip(want.score_docs, td.score_docs):
+            assert o.score == g.score
+    # the dispatch must have built phase-0 entries (ubank + bits), not
+    # the bf16 phase-1 banks
+    ex = next(
+        e for e in s._ctx("body").row_executors if e is not None
+    )
+    compacts = [
+        entry[1][-1]
+        for entry in ex._batch_cache.values()
+        if entry[1][-1] is not None
+    ]
+    assert compacts, "no compact entries were built"
+    assert any(c.ubank is not None for c in compacts)
+    for c in compacts:
+        if c.ubank is not None:
+            assert c.compact_bf16 is None  # phase-0 entries skip bf16
+            assert c.bits is not None and c.qmode is not None
+
+
 def test_on_demand_count_and_escalation(od_searcher):
     s, oracle = od_searcher
     # count() exercises _args -> _demand_heavy_args
