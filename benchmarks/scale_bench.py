@@ -151,6 +151,9 @@ def main():
                             # one group must admit the whole mixed vocab:
                             # pool + light/phrase rows + zero row
                             ex.COMPACT_GROUP_BYTES = 7 << 30
+                            # on-demand entries use ON_DEMAND_CACHE_BUDGET
+                            # (7 GB default); keep the legacy attr for the
+                            # non-on-demand path at 4-10M doc sizes
                             ex.BATCH_CACHE_BUDGET = 7 << 30
                 gc.collect()
                 log(f"mem before mixed: {_mem_gb(jax)}")

@@ -572,6 +572,46 @@ def _select_tiles(tile_upper, Bk: int, G: int, deterministic: bool = True):
             jnp.full((Q,), -jnp.inf, jnp.float32),
             jnp.full((Q,), G, jnp.int32),
         )
+    if not deterministic and G >= 4096:
+        # Pure-OR path: EXACT hierarchical top-k. XLA's flat top_k over
+        # [Q, G] is the 10M-tier wall (measured [896, 78144] Bk=146:
+        # 35.7 ms; full _select_tiles 42 ms of a 60 ms dispatch).
+        # Two stages stay exact: every true top-Bk tile lives in a
+        # top-Bk supertile (its supertile max >= that tile's bound, and
+        # Bk supertiles outranking it would each contain a better tile).
+        # u_next is exact and scatter-free: an unselected tile is either
+        # in an unselected supertile (bound <= (Bk+1)-th supertile max,
+        # itself an unselected tile's bound) or an unselected member of
+        # a gathered supertile (<= (Bk+1)-th gathered value). Measured
+        # 10.6 ms at the same shape (SUP=16 beat 8/32/64). Cross-
+        # supertile ties may pick a different EQUAL-VALUED tile than the
+        # flat top_k, so the boolean path (which needs docid-ordered
+        # zero-bound ties + min_unsel_feas) keeps the flat kernel.
+        SUP = 16
+        Gp = -(-G // SUP) * SUP
+        tu = tile_upper
+        if Gp != G:
+            tu = jnp.pad(
+                tile_upper, ((0, 0), (0, Gp - G)),
+                constant_values=-jnp.inf,
+            )
+        Gs = Gp // SUP
+        if Gs > Bk:
+            sup = tu.reshape(Q, Gs, SUP).max(axis=2)
+            sv, sidx = jax.lax.top_k(sup, Bk + 1)
+            ssel = sidx[:, :Bk]
+            cand = jnp.take_along_axis(
+                tu.reshape(Q, Gs, SUP), ssel[:, :, None], axis=1
+            ).reshape(Q, Bk * SUP)
+            cv, cidx2 = jax.lax.top_k(cand, Bk + 1)
+            csel = cidx2[:, :Bk]
+            gsel = (
+                jnp.take_along_axis(ssel, csel // SUP, axis=1) * SUP
+                + csel % SUP
+            )
+            tsel = jnp.sort(gsel.astype(jnp.int32), axis=1)
+            u_next = jnp.maximum(sv[:, Bk], cv[:, Bk])
+            return tsel, u_next, jnp.full((Q,), G, jnp.int32)
     # exact top_k everywhere: measured FASTER than approx_max_k at the
     # serving shapes ([896, 7816]: 1.36 vs 1.75 ms), deterministic ties
     # (-> lower tile index), and no recall-miss escalations
@@ -1888,12 +1928,12 @@ class RowExecutor:
     # segments so partitioned diverse batches can't OOM the bank builds
     COMPACT_GROUP_BYTES = 2 << 30
 
-    # on-demand mode budget: with no resident heavy bank the compact
-    # banks own most of HBM; phase-0 entries cost ~4.2 B/doc/row (f32
-    # tile-major + bitmaps + tile maxima, no bf16), phase-1 entries
-    # ~6.3 (f32 tile-major + bf16); headroom covers the build's
-    # transient row group
-    ON_DEMAND_GROUP_BYTES = 9 << 30
+    # on-demand mode transient row-group cap: with no resident heavy
+    # bank the compact banks own most of HBM (ON_DEMAND_CACHE_BUDGET),
+    # so the build's transient [rows, D] f32 group must stay small —
+    # 4 GB = ~100 rows at 10M docs, built in as many group passes as
+    # needed. (9 GB next to a 7 GB entry cache OOM'd the 16 GB chip.)
+    ON_DEMAND_GROUP_BYTES = 4 << 30
 
     def _compact_row_cap(self) -> int:
         D = self.index.num_docs_pad
@@ -2130,14 +2170,18 @@ class RowExecutor:
     # stay resident — at 2 GB the split pair thrashed the LRU and rebuilt
     # a compact bank EVERY dispatch (measured 19 ms -> 300+ ms per batch)
     BATCH_CACHE_BUDGET = 5 << 30
-    # on-demand (huge-segment) phase-0 budget: no resident heavy bank and
-    # no bf16 copies, so the purity-split 10M mixed entries (~6 + ~5 GB)
-    # AND the or20 entry all fit — the r4 129 ms/batch rebuild was these
-    # entries thrashing the 5 GB budget
-    ON_DEMAND_CACHE_BUDGET = 12 << 30
+    # on-demand (huge-segment) budget: no resident heavy bank, so the
+    # compact entries own HBM. At 10M docs the purity-split mixed
+    # entries (~2.4 + ~2.9 GB at pool 32) AND the or20 entry (~1.4 GB)
+    # must ALL stay resident — the r4 129 ms/batch wall was the LRU
+    # evicting one split entry to admit the other every dispatch
+    # (12 B/doc/row estimate vs 6 real + 5 GB budget), measured again
+    # 2026-08-20: resident entries score in ~8 ms, a rebuild costs
+    # ~129 ms.
+    ON_DEMAND_CACHE_BUDGET = 7 << 30
 
     def _cache_budget(self) -> int:
-        if self.index.bank_on_demand and self.use_phase0:
+        if self.index.bank_on_demand:
             return self.ON_DEMAND_CACHE_BUDGET
         return self.BATCH_CACHE_BUDGET
 
@@ -2155,11 +2199,15 @@ class RowExecutor:
             for p in plans:
                 vocab |= self._plan_row_keys(p)
             budget = self._cache_budget()
-            per_row = (
-                5
-                if (self.index.bank_on_demand and self.use_phase0)
-                else 12
-            )
+            # per-row byte estimates must track the REAL entry cost
+            # closely in on-demand mode: the old blanket 12 B/doc/row
+            # (vs 6 real for f32 tile-major + bf16) made a ~2.9 GB
+            # split entry claim ~4.9 GB and evict its resident sibling
+            # — the r4 rebuild-every-dispatch wall at 10M docs
+            if self.index.bank_on_demand:
+                per_row = 5 if self.use_phase0 else 7
+            else:
+                per_row = 12
             est = per_row * self.index.num_docs_pad * (len(vocab) + 9)
             while (
                 self._batch_bytes + est > budget
@@ -2248,8 +2296,15 @@ class RowExecutor:
     # pallas is the default pure-OR path; set False to force the XLA scan
     use_pallas: bool = True
     # phase-0 tile-maxima selection + bitmap hit counts for on-demand
-    # (huge-segment) batches; False forces the full-D bf16 phase 1
-    use_phase0: bool = True
+    # (huge-segment) batches. Default OFF: measured 2026-08-20 at 10M
+    # docs, the bits_hits [1, WB] single-sublane layout wastes 7/8 of
+    # every vreg (~150 ms/batch for or20 vs 8 ms via the bf16 phase 1)
+    # and the looser tile-maxima bounds escalated 1.2% of queries. The
+    # bf16 phase 1 with correctly-sized LRU estimates keeps the split
+    # entries resident, which was the actual 10M mixed wall. Phase-0
+    # remains available for memory-constrained experiments (entries
+    # cost ~4.2 B/doc/row vs ~6.3).
+    use_phase0: bool = False
     # LRUQueryCache role: replay phase-1 scoring state when an identical
     # batch is re-issued (staged/huge-segment path only). Default on,
     # like the reference's searcher-level query cache; benches turn it
@@ -2441,8 +2496,13 @@ class RowExecutor:
         if p is None:
             from diagon_tpu.search.engine import TermPlan
 
+            # weight 1.0 (not 0.0): pure_or requires every clause to be
+            # scoring, and a non-pure-or pad plan silently dragged every
+            # PADDED pure-OR subset through the 4-product boolean kernel.
+            # The term is absent (-1) so the clause still contributes a
+            # zero row: score 0, hits 0, at any weight.
             p = self.build_plan(
-                [TermPlan(-1, np.float32(0.0), should=True)],
+                [TermPlan(-1, np.float32(1.0), should=True)],
                 min_should=1,
                 idf_of_tid=lambda tid: np.float32(0.0),
             )
