@@ -572,21 +572,30 @@ def _select_tiles(tile_upper, Bk: int, G: int, deterministic: bool = True):
             jnp.full((Q,), -jnp.inf, jnp.float32),
             jnp.full((Q,), G, jnp.int32),
         )
-    if not deterministic and G >= 4096:
-        # Pure-OR path: EXACT hierarchical top-k. XLA's flat top_k over
-        # [Q, G] is the 10M-tier wall (measured [896, 78144] Bk=146:
-        # 35.7 ms; full _select_tiles 42 ms of a 60 ms dispatch).
-        # Two stages stay exact: every true top-Bk tile lives in a
-        # top-Bk supertile (its supertile max >= that tile's bound, and
-        # Bk supertiles outranking it would each contain a better tile).
-        # u_next is exact and scatter-free: an unselected tile is either
-        # in an unselected supertile (bound <= (Bk+1)-th supertile max,
-        # itself an unselected tile's bound) or an unselected member of
-        # a gathered supertile (<= (Bk+1)-th gathered value). Measured
-        # 10.6 ms at the same shape (SUP=16 beat 8/32/64). Cross-
-        # supertile ties may pick a different EQUAL-VALUED tile than the
-        # flat top_k, so the boolean path (which needs docid-ordered
-        # zero-bound ties + min_unsel_feas) keeps the flat kernel.
+    if G >= 4096:
+        # EXACT hierarchical top-k. XLA's flat top_k over [Q, G] is the
+        # 10M-tier wall (measured [896, 78144] Bk=146: 35.7 ms; full
+        # flat _select_tiles 42 ms of a 60 ms dispatch; two-stage
+        # 10.6 ms at the same shape, SUP=16 beat 8/32/64). Two stages
+        # stay exact: every true top-Bk tile lives in a top-Bk
+        # supertile (its supertile max >= that tile's bound, and Bk
+        # supertiles outranking it would each contain a better tile).
+        # u_next is exact and scatter-free: an unselected tile is
+        # either in an unselected supertile (bound <= (Bk+1)-th
+        # supertile max, itself an unselected tile's bound) or an
+        # unselected member of a gathered supertile (<= (Bk+1)-th
+        # gathered value).
+        #
+        # Boolean (deterministic) path: sorting the selected supertiles
+        # ascending BEFORE the gather puts stage-2 candidates in docid
+        # order, so top_k's lower-index tie break prefers lower docids
+        # — the zero-bound tie behavior the (c) certificate in
+        # _pruned_batch_finish wants. A cross-supertile zero tie CAN
+        # still pick a higher-docid zero tile than the flat kernel
+        # (when a 0-max supertile is dropped for a positive-max one
+        # holding later zeros); min_unsel then exposes the dropped
+        # lower-docid feasible tile and the query escalates — exactness
+        # is never at stake, only that query's latency.
         SUP = 16
         Gp = -(-G // SUP) * SUP
         tu = tile_upper
@@ -597,11 +606,14 @@ def _select_tiles(tile_upper, Bk: int, G: int, deterministic: bool = True):
             )
         Gs = Gp // SUP
         if Gs > Bk:
-            sup = tu.reshape(Q, Gs, SUP).max(axis=2)
+            tu3 = tu.reshape(Q, Gs, SUP)
+            sup = tu3.max(axis=2)
             sv, sidx = jax.lax.top_k(sup, Bk + 1)
             ssel = sidx[:, :Bk]
+            if deterministic:
+                ssel = jnp.sort(ssel, axis=1)
             cand = jnp.take_along_axis(
-                tu.reshape(Q, Gs, SUP), ssel[:, :, None], axis=1
+                tu3, ssel[:, :, None], axis=1
             ).reshape(Q, Bk * SUP)
             cv, cidx2 = jax.lax.top_k(cand, Bk + 1)
             csel = cidx2[:, :Bk]
@@ -611,7 +623,48 @@ def _select_tiles(tile_upper, Bk: int, G: int, deterministic: bool = True):
             )
             tsel = jnp.sort(gsel.astype(jnp.int32), axis=1)
             u_next = jnp.maximum(sv[:, Bk], cv[:, Bk])
-            return tsel, u_next, jnp.full((Q,), G, jnp.int32)
+            if not deterministic:
+                return tsel, u_next, jnp.full((Q,), G, jnp.int32)
+            # min unselected FEASIBLE tile (bound >= 0), exact for THIS
+            # selection, from two small [Q, Bk]-sized scatters instead
+            # of the [Q, G] masked scan:
+            qr = jnp.arange(Q, dtype=jnp.int32)[:, None]
+            # (a) unselected candidates inside gathered supertiles
+            cpos = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1)
+            cglob = (
+                jnp.take_along_axis(ssel, cpos // SUP, axis=1) * SUP
+                + cpos % SUP
+            )
+            unsel_c = (
+                jnp.ones(cand.shape, jnp.bool_).at[qr, csel].set(False)
+            )
+            in_g = jnp.min(
+                jnp.where((cand >= 0) & unsel_c, cglob, jnp.int32(G)),
+                axis=1,
+            )
+            # (b) unselected supertiles: their first feasible member
+            off = jnp.where(
+                tu3 >= 0,
+                jax.lax.broadcasted_iota(jnp.int32, tu3.shape, 2),
+                jnp.int32(SUP),
+            )
+            f_off = jnp.min(off, axis=2)  # [Q, Gs]
+            sbase = (
+                jax.lax.broadcasted_iota(jnp.int32, sup.shape, 1) * SUP
+            )
+            feas_tile = jnp.where(
+                f_off < SUP, sbase + f_off, jnp.int32(G)
+            )
+            feas_tile = feas_tile.at[qr, ssel].set(jnp.int32(G))
+            out_g = jnp.min(feas_tile, axis=1)
+            min_unsel_feas = jnp.minimum(jnp.minimum(in_g, out_g), G)
+            return tsel, u_next, min_unsel_feas
+    return _select_tiles_flat(tile_upper, Bk, G)
+
+
+def _select_tiles_flat(tile_upper, Bk: int, G: int):
+    """Flat single-stage selection (reference semantics; small G)."""
+    Q = tile_upper.shape[0]
     # exact top_k everywhere: measured FASTER than approx_max_k at the
     # serving shapes ([896, 7816]: 1.36 vs 1.75 ms), deterministic ties
     # (-> lower tile index), and no recall-miss escalations
