@@ -1116,6 +1116,29 @@ def _compact_place_row(ct, cb, row, g0):
     return ct, cb
 
 
+@partial(jax.jit, static_argnames=("u8", "lb"))
+def _assemble_compact(heavy_bank, used_idx, used_mask, light_bank,
+                      light_mask, n_used, *, u8: int, lb: int):
+    """Resident-mode compact bank [u8, D] in one shape-bucketed program:
+    row 0 zero, rows 1..n_used = heavy_bank[used], then the light rows,
+    zeros beyond. used_idx/used_mask are padded to a 32-row bucket (mask
+    zeroes the padding gathers) and the light block to an 8-row bucket,
+    so novel serving batches with drifting vocabulary sizes reuse ONE
+    compiled assembly instead of recompiling gather+concat per batch."""
+    D = heavy_bank.shape[1]
+    rows = jnp.zeros((u8, D), jnp.float32)
+    hb = heavy_bank[used_idx] * used_mask[:, None]
+    rows = jax.lax.dynamic_update_slice(rows, hb, (jnp.int32(1), 0))
+    nl = light_bank.shape[0] - 1
+    if nl < lb:
+        light_bank = jnp.pad(light_bank, ((0, lb - nl), (0, 0)))
+    lrows = light_bank[1 : 1 + lb] * light_mask[:, None]
+    # placed AFTER the heavy block: overwrites its masked padding rows
+    return jax.lax.dynamic_update_slice(
+        rows, lrows, (jnp.int32(1) + n_used, 0)
+    )
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _compact_place_t(ct, sub, g0):
     """Tile-major-only variant of _compact_place: phase-0 entries hold
@@ -2114,27 +2137,37 @@ class RowExecutor:
                         jnp.int32(1 + len(used) + j),
                     )
         else:
-            parts = [jnp.zeros((1, D), jnp.float32)]
-            if len(used):
-                parts.append(self.index.heavy_bank[jnp.asarray(used)])
-            if n_light:
-                parts.append(light_bank[1 : 1 + n_light])
-            compact_f32 = _pad_rows8(jnp.concatenate(parts))
-            # bucket the row count past the sublane-8 rule: vocabulary
-            # drift between serving batches otherwise recompiles phase
-            # 1/2 for every distinct U8 (zero rows are free FLOP-wise;
-            # skip at huge D where 24 pad rows cost ~1 GB of HBM)
-            if self.index.num_docs_pad < self.batch_only_min_docs:
-                n = int(compact_f32.shape[0])
-                n32 = -(-n // 32) * 32
-                if n32 != n:
-                    compact_f32 = jnp.concatenate(
-                        [
-                            compact_f32,
-                            jnp.zeros((n32 - n, D), jnp.float32),
-                        ]
-                    )
-            U8 = int(compact_f32.shape[0])
+            # ONE jitted shape-bucketed assembly. The old eager build
+            # (heavy_bank[used] gather + exact-size concatenates) traced
+            # a NEW program for every distinct (len(used), n_light) —
+            # a fresh 1024-query serving batch paid ~13 XLA compiles
+            # ~2 s EACH through the axon tunnel (measured 26.1 s of a
+            # 27.5 s cold dispatch at 19k docs). Bucketing the gather
+            # width and light count (32/8) makes novel batches reuse
+            # the compiled assembly.
+            u8 = -(-max(n_rows, 1) // 32) * 32
+            ub = -(-max(len(used), 1) // 32) * 32
+            lb = -(-max(n_light, 1) // 8) * 8
+            # assemble at a size that can hold BOTH bucketed blocks
+            # without dynamic_update_slice clamping (which would shift
+            # the block instead of writing past the end), then slice to
+            # the entry's bucketed row count
+            u8_build = -(-(1 + ub + lb) // 32) * 32
+            used_pad = np.zeros(ub, np.int32)
+            used_pad[: len(used)] = used
+            used_mask = np.zeros(ub, np.float32)
+            used_mask[: len(used)] = 1.0
+            light_mask = np.zeros(lb, np.float32)
+            light_mask[:n_light] = 1.0
+            compact_f32 = _assemble_compact(
+                self.index.heavy_bank, jnp.asarray(used_pad),
+                jnp.asarray(used_mask), light_bank,
+                jnp.asarray(light_mask), jnp.int32(len(used)),
+                u8=u8_build, lb=lb,
+            )
+            if u8 < u8_build:
+                compact_f32 = compact_f32[:u8]
+            U8 = u8
             compact_t = _tile_major(compact_f32)
             compact_bf16 = compact_f32.astype(jnp.bfloat16)
         if phase0:
@@ -2619,15 +2652,21 @@ class RowExecutor:
                 po = [p.pure_or for p in plans]
                 n_or = sum(po)
                 if 0 < n_or < len(plans):
-                    idx_or = [i for i, f in enumerate(po) if f]
-                    idx_bool = [i for i, f in enumerate(po) if not f]
+                    idx_or = np.asarray(
+                        [i for i, f in enumerate(po) if f], np.int32
+                    )
+                    idx_bool = np.asarray(
+                        [i for i, f in enumerate(po) if not f], np.int32
+                    )
+                    # inv permutations are built per PADDED f1 row count
+                    # (sub-dispatches return Q-bucket-padded results) and
+                    # cached by that count — the {} dict
                     sp = (
                         [plans[i] for i in idx_or],
                         [plans[i] for i in idx_bool],
-                        jnp.asarray(
-                            np.argsort(np.asarray(idx_or + idx_bool)),
-                            jnp.int32,
-                        ),
+                        idx_or,
+                        idx_bool,
+                        {},
                     )
                 else:
                     sp = False
@@ -2635,9 +2674,21 @@ class RowExecutor:
                     self._split_cache.clear()
                 self._split_cache[ck] = sp
             if sp:
-                p_or, p_bool, inv = sp
+                p_or, p_bool, idx_or, idx_bool, invs = sp
                 f1 = self.dispatch(p_or, k)
                 f2 = self.dispatch(p_bool, k)
+                n1p = int(f1.shape[0])
+                inv = invs.get(n1p)
+                if inv is None:
+                    pos = np.empty(
+                        len(idx_or) + len(idx_bool), np.int32
+                    )
+                    pos[idx_or] = np.arange(len(idx_or), dtype=np.int32)
+                    pos[idx_bool] = n1p + np.arange(
+                        len(idx_bool), dtype=np.int32
+                    )
+                    inv = jnp.asarray(pos)
+                    invs[n1p] = inv
                 return _merge_split(f1, f2, inv, k)
             groups = self._cached_partition(plans)
             if groups is not None:
@@ -2645,6 +2696,8 @@ class RowExecutor:
                 outs = []
                 for a, b in groups:
                     f = self.dispatch(list(plans[a:b]), k)
+                    if f.shape[0] != b - a:  # strip the Q-bucket pad
+                        f = f[: b - a]
                     if f.shape[-1] == 2 * k + 1:
                         # exhaustive group: exact by construction — append
                         # a safe=1 column so the fused layouts concatenate
@@ -2655,10 +2708,16 @@ class RowExecutor:
                     outs.append(f)
                 return jnp.concatenate(outs)
             padded, orig_q = self._pad_batch(plans)
-            fused = self._dispatch_pruned(padded, k, out_q=orig_q)
+            # PADDED result on purpose: slicing to orig_q in-program
+            # made orig_q a static arg of the fused phase-1/2 program,
+            # so every novel batch size recompiled it (~5.7 s each
+            # through the axon tunnel — the bulk of the 16.7 s cold
+            # new-batch dispatch). finalize()/the split merge strip the
+            # pad rows on host instead.
+            fused = self._dispatch_pruned(padded, k)
             if fused is not None:
                 self.metrics["pruned"].increment()
-                return fused  # already sliced to orig_q in-program
+                return fused  # PADDED to the Q bucket; callers slice
             self.metrics["compact_fallbacks"].increment()
         self.metrics["exhaustive"].increment()
         if len(plans) > 1:  # same shape-stability rationale as the
@@ -2724,10 +2783,14 @@ class RowExecutor:
 
     def finalize(self, plans: Sequence[RowPlan], fused, k: int):
         """Decode a dispatch() result; escalate pruned queries whose
-        exactness certificate failed onto the exhaustive kernel."""
+        exactness certificate failed onto the exhaustive kernel.
+        dispatch() may return Q-bucket-PADDED rows (shape-stable device
+        programs) — the pad rows are stripped here, on host."""
         from diagon_tpu.search.engine import unfuse_topk
 
         fused = np.asarray(fused)
+        if fused.shape[0] > len(plans):
+            fused = fused[: len(plans)]
         if fused.shape[-1] == 2 * k + 1:  # exhaustive layout
             return unfuse_topk(fused, k)
         scores = fused[:, :k].copy()
