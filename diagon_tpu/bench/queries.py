@@ -140,6 +140,15 @@ def mixed_query_batch(pool, n: int = 1024, seed: int = 42,
 
     rng = np.random.Generator(np.random.PCG64(seed))
     pool = list(pool)
+    # bounded phrase-text vocabulary (distinct query OBJECTS may repeat
+    # a text): every distinct phrase shape compiles its own position
+    # kernel (~2 s via the tunnel) — see phrase_query_batch
+    phrase_texts = [
+        [pool[i] for i in rng.choice(len(pool),
+                                     min(2 if j % 4 else 3, len(pool)),
+                                     replace=False)]
+        for j in range(16)
+    ] if phrase_share else []
     out = []
     seen = set()
     families = (
@@ -156,12 +165,16 @@ def mixed_query_batch(pool, n: int = 1024, seed: int = 42,
     while len(out) < n and tries < 50 * n:
         tries += 1
         fam, width = families[int(rng.integers(len(families)))]
-        terms = [
-            pool[i]
-            for i in rng.choice(len(pool), min(width, len(pool)),
-                                replace=False)
-        ]
-        key = (fam, tuple(terms))
+        if fam == "phrase":
+            terms = phrase_texts[int(rng.integers(len(phrase_texts)))]
+            key = (fam, tuple(terms), len(out))  # objects may share text
+        else:
+            terms = [
+                pool[i]
+                for i in rng.choice(len(pool), min(width, len(pool)),
+                                    replace=False)
+            ]
+            key = (fam, tuple(terms))
         if key in seen:
             continue
         seen.add(key)
@@ -187,20 +200,27 @@ def mixed_query_batch(pool, n: int = 1024, seed: int = 42,
     return out
 
 
-def phrase_query_batch(pool, n: int = 1024, seed: int = 43):
-    """``n`` DISTINCT 2-3 term phrase queries over the frequent-term pool
-    (+ the reference's 5 fixed phrases first, reuters_benchmark.cpp).
-    Distinct phrases (not one phrase fanned out) so dedup can't collapse
-    the batch — the measured qps covers plan build amortized over the
-    serving window plus per-dispatch scoring, like the mixed batch."""
+def phrase_query_batch(pool, n: int = 1024, seed: int = 43,
+                       distinct: int = 32):
+    """``n`` phrase queries drawn from a ``distinct``-phrase vocabulary
+    (the reference's 5 fixed phrases first, reuters_benchmark.cpp, plus
+    seeded 2-3 term combinations). Every query is a DISTINCT object so
+    the identical-plan dedup can't collapse the batch — per-query plan
+    lookup and row assembly are measured — but the phrase TEXT pool is
+    bounded: each distinct (candidate count, position cap, anchor)
+    combination compiles its own position-intersection program (~2 s
+    through the tunnel), so unbounded phrase vocabularies turn the
+    stage into pure XLA compilation (measured: 1024 distinct phrases
+    > 800 s; the reference's own phrase benchmark uses 5 fixed
+    phrases)."""
     import numpy as np
 
     rng = np.random.Generator(np.random.PCG64(seed))
     pool = list(pool)
-    out = [PhraseQuery("body", p) for p in PHRASES][: n]
+    texts = [list(p) for p in PHRASES][:distinct]
     seen = {tuple(p) for p in PHRASES}
     tries = 0
-    while len(out) < n and tries < 100 * n:
+    while len(texts) < distinct and tries < 100 * distinct:
         tries += 1
         width = 2 if rng.random() < 0.8 else 3
         terms = tuple(
@@ -211,5 +231,8 @@ def phrase_query_batch(pool, n: int = 1024, seed: int = 43):
         if terms in seen:
             continue
         seen.add(terms)
-        out.append(PhraseQuery("body", list(terms)))
-    return out
+        texts.append(list(terms))
+    return [
+        PhraseQuery("body", texts[int(rng.integers(len(texts)))])
+        for _ in range(n)
+    ]

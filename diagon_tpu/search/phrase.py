@@ -133,6 +133,7 @@ class PhraseExecutor:
         self.tf_lut = tf_lut
         self._term_docs: Dict[int, np.ndarray] = {}
         self._plan_cache: Dict[tuple, tuple] = {}
+        self._row_cache: Dict[tuple, tuple] = {}
 
     def _docs_of(self, tid: int) -> np.ndarray:
         """Decoded ascending docids of one term (cached)."""
@@ -260,13 +261,26 @@ class PhraseExecutor:
         one kernel + one readback replaces the numpy oracle's
         per-candidate intersection (measured ~9-51 s per clause at 1M
         docs vs ~50 ms here). Scores are bit-identical to the oracle's
-        (idf * tf_lut lookup, single f32 multiply — no FMA exposure)."""
+        (idf * tf_lut lookup, single f32 multiply — no FMA exposure).
+
+        Memoized by (terms, idf): a serving batch of phrase QUERY
+        objects repeating the same phrase text would otherwise pay one
+        device kernel + ~25 ms tunnel readback PER OBJECT (the
+        searcher's plan cache is per query object, not per text)."""
+        ck = (tuple(terms), float(idf))
+        got = self._row_cache.get(ck)
+        if got is not None:
+            return got
         row = np.zeros(num_docs, np.float32)
         plan = self._plan(terms)
         if plan is None or isinstance(plan[0], list):
-            return row, np.zeros(num_docs, np.float32)
-        C = int(plan[0].shape[0])
-        scores, docs, _hits = self.top_k(terms, idf, C)
-        ok = scores > 0
-        row[docs[ok]] = scores[ok]
-        return row, (row > 0).astype(np.float32)
+            out = (row, np.zeros(num_docs, np.float32))
+        else:
+            C = int(plan[0].shape[0])
+            scores, docs, _hits = self.top_k(terms, idf, C)
+            ok = scores > 0
+            row[docs[ok]] = scores[ok]
+            out = (row, (row > 0).astype(np.float32))
+        if len(self._row_cache) < 64:
+            self._row_cache[ck] = out
+        return out

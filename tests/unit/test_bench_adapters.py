@@ -121,13 +121,19 @@ def test_phrase_query_batch_distinct():
     from diagon_tpu.search.query import PhraseQuery
 
     pool = [f"w{i}" for i in range(60)]
-    batch = phrase_query_batch(pool, n=128, seed=3)
+    batch = phrase_query_batch(pool, n=128, seed=3, distinct=16)
     assert len(batch) == 128
     assert all(isinstance(q, PhraseQuery) for q in batch)
-    keys = [tuple(q.terms) for q in batch]
-    assert len(set(keys)) == len(keys), "phrases must be distinct"
-    # the reference's 5 fixed phrases lead the batch
-    assert keys[0] == ("oil", "price")
+    # distinct OBJECTS (dedup can't collapse the batch) drawn from a
+    # BOUNDED text vocabulary (each distinct phrase shape compiles its
+    # own position kernel — unbounded texts turn the stage into pure
+    # XLA compilation, measured > 800 s at 1024 texts)
+    assert len({id(q) for q in batch}) == len(batch)
+    keys = {tuple(q.terms) for q in batch}
+    assert len(keys) <= 16
+    assert len(keys) >= 8  # still a real mix, not one phrase fanned out
+    # the reference's 5 fixed phrases are in the vocabulary
+    assert ("oil", "price") in keys
 
 
 def test_phrase_and_mixed_phrase_batches_bit_exact():
