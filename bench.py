@@ -688,7 +688,8 @@ def component_benches(result, reserve=300):
         ("sparse",
          [sys.executable, "benchmarks/sparse_bench.py",
           "--docs", "50000"],
-         (("sparse_qps", "value"), ("sparse_recall10", "recall10"))),
+         (("sparse_qps", "value"), ("sparse_recall10", "recall10"),
+          ("sparse_recall10_rerank", "recall10_rerank"))),
     ):
         # 180 s: both benches run in 34-100 s healthy, but a degraded
         # tunnel multiplies subprocess device time ~3x (2026-08-19 runs)
